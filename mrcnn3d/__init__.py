@@ -1,0 +1,15 @@
+"""mrcnn3d — TPU-native 3D Multi-Resolution R-CNN framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+arthur801031/3d-multi-resolution-rcnn (3D instance segmentation of cerebral
+microbleeds from SWI-MRI, two-resolution Mask R-CNN with refinement head).
+
+Design stance (vs. the CUDA/PyTorch reference):
+  * pure functions + pytree params instead of nn.Module/hook mutation
+  * static padded shapes + validity masks instead of dynamic tensor lists
+  * Pallas / fused XLA kernels instead of CUDA ops (NMS3D, RoIAlign3D)
+  * shard_map + psum over a jax.sharding.Mesh instead of NCCL DDP
+  * channel-last (B, D, H, W, C) layouts for TPU conv efficiency
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,158 @@
+"""RoIAlign3D vs a scalar numpy oracle implementing the CUDA kernel math
+(reference mmdet/ops/roi_align/src/roi_align_kernel.cu:64-291), plus a
+finite-difference gradient check (replacing the reference's gradcheck.py).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mrcnn3d.ops.roi_align3d import multi_level_roi_align_3d, roi_align_3d
+
+
+def _trilinear(data, d, h, w, z, y, x):
+    if z < -1.0 or z > d or y < -1.0 or y > h or x < -1.0 or x > w:
+        return 0.0
+    z, y, x = max(z, 0.0), max(y, 0.0), max(x, 0.0)
+    zl, yl, xl = int(z), int(y), int(x)
+    if zl >= d - 1:
+        zh = zl = d - 1
+        z = float(zl)
+    else:
+        zh = zl + 1
+    if yl >= h - 1:
+        yh = yl = h - 1
+        y = float(yl)
+    else:
+        yh = yl + 1
+    if xl >= w - 1:
+        xh = xl = w - 1
+        x = float(xl)
+    else:
+        xh = xl + 1
+    lz, ly, lx = z - zl, y - yl, x - xl
+    hz, hy, hx = 1 - lz, 1 - ly, 1 - lx
+    v = 0.0
+    for (zi, wz) in ((zl, hz), (zh, lz)):
+        for (yi, wy) in ((yl, hy), (yh, ly)):
+            for (xi, wx) in ((xl, hx), (xh, lx)):
+                v += wz * wy * wx * data[zi, yi, xi]
+    return v
+
+
+def roi_align_3d_numpy(
+    features, rois, out, out_d, scale, scale_d, sample_num
+):
+    """features (B, D, H, W, C); rois (N, 7)."""
+    b, d, h, w, c = features.shape
+    n = rois.shape[0]
+    result = np.zeros((n, out_d, out, out, c), np.float32)
+    for i in range(n):
+        bi = int(rois[i, 0])
+        sw = rois[i, 1] * scale
+        sh = rois[i, 2] * scale
+        ew = (rois[i, 3] + 1) * scale
+        eh = (rois[i, 4] + 1) * scale
+        sd = rois[i, 5] * scale_d
+        ed = (rois[i, 6] + 1) * scale_d
+        rw = max(ew - sw, 0.0)
+        rh = max(eh - sh, 0.0)
+        rd = max(ed - sd, 0.0)
+        bw, bh, bd = rw / out, rh / out, rd / out_d
+        for ci in range(c):
+            data = features[bi, :, :, :, ci]
+            for pd in range(out_d):
+                for ph in range(out):
+                    for pw in range(out):
+                        acc = 0.0
+                        for iz in range(sample_num):
+                            z = sd + pd * bd + (iz + 0.5) * bd / sample_num
+                            for iy in range(sample_num):
+                                y = sh + ph * bh + (iy + 0.5) * bh / sample_num
+                                for ix in range(sample_num):
+                                    x = (
+                                        sw
+                                        + pw * bw
+                                        + (ix + 0.5) * bw / sample_num
+                                    )
+                                    acc += _trilinear(data, d, h, w, z, y, x)
+                        result[i, pd, ph, pw, ci] = acc / sample_num**3
+    return result
+
+
+def test_matches_scalar_oracle():
+    rng = np.random.RandomState(0)
+    feats = rng.randn(2, 8, 16, 16, 3).astype(np.float32)
+    rois = np.array(
+        [
+            [0, 4, 4, 27, 30, 2, 9],
+            [1, 0, 0, 15, 15, 0, 15],
+            [0, 10, 12, 50, 55, 5, 14],
+            [1, 60, 60, 70, 70, 14, 15],  # partially outside
+        ],
+        np.float32,
+    )
+    got = roi_align_3d(
+        jnp.asarray(feats), jnp.asarray(rois), 7, 3, 0.25, 0.5, 2
+    )
+    want = roi_align_3d_numpy(feats, rois, 7, 3, 0.25, 0.5, 2)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_degenerate_roi():
+    feats = np.ones((1, 4, 8, 8, 1), np.float32)
+    rois = np.array([[0, 3, 3, 3, 3, 1, 1]], np.float32)  # single voxel
+    got = np.asarray(
+        roi_align_3d(jnp.asarray(feats), jnp.asarray(rois), 7, 3, 1.0, 1.0, 2)
+    )
+    np.testing.assert_allclose(got, 1.0, atol=1e-5)
+
+
+def test_gradient_finite_difference():
+    rng = np.random.RandomState(3)
+    feats = rng.randn(1, 4, 8, 8, 2).astype(np.float32)
+    rois = np.array([[0, 1, 1, 6, 6, 0, 3]], np.float32)
+
+    def f(x):
+        out = roi_align_3d(x, jnp.asarray(rois), 3, 2, 0.5, 0.5, 2)
+        return jnp.sum(out * out)
+
+    grad = np.asarray(jax.grad(f)(jnp.asarray(feats)))
+    eps = 1e-3
+    for idx in [(0, 1, 2, 3, 0), (0, 2, 4, 4, 1), (0, 0, 0, 0, 0)]:
+        fp = feats.copy()
+        fp[idx] += eps
+        fm = feats.copy()
+        fm[idx] -= eps
+        num = (float(f(jnp.asarray(fp))) - float(f(jnp.asarray(fm)))) / (
+            2 * eps
+        )
+        assert abs(num - grad[idx]) < 1e-2, idx
+
+
+def test_multi_level_dispatch():
+    rng = np.random.RandomState(5)
+    feats = [
+        jnp.asarray(rng.randn(1, 16, 32, 32, 4).astype(np.float32)),
+        jnp.asarray(rng.randn(1, 8, 16, 16, 4).astype(np.float32)),
+    ]
+    # small roi -> level 0; large roi -> level 1
+    rois = jnp.asarray(
+        [
+            [0, 10, 10, 20, 20, 2, 6],  # scale ~ sqrt(11*11*5)=24 -> lvl 0
+            [0, 0, 0, 120, 120, 0, 30],  # scale large -> lvl 1
+        ],
+        jnp.float32,
+    )
+    out = multi_level_roi_align_3d(
+        feats, rois, 7, 3, [4, 8], [2, 4], sample_num=2
+    )
+    assert out.shape == (2, 3, 7, 7, 4)
+    # level-0 roi must equal direct align on level 0
+    direct0 = roi_align_3d(feats[0], rois[:1], 7, 3, 0.25, 0.5, 2)
+    np.testing.assert_allclose(
+        np.asarray(out[:1]), np.asarray(direct0), atol=1e-5
+    )
+    direct1 = roi_align_3d(feats[1], rois[1:], 7, 3, 1 / 8, 0.25, 2)
+    np.testing.assert_allclose(
+        np.asarray(out[1:]), np.asarray(direct1), atol=1e-5
+    )
