@@ -1,0 +1,75 @@
+"""Detector builder: reference config dict -> Detector3D module.
+
+Replaces the reference's registry recursion (mmdet/models/builder.py:24-72)
+with a direct mapping from `model.type` strings to Detector3D flags — the
+reference's 30 detector classes differ only in pathway count and head
+sharing (SURVEY.md section 2.4), which is configuration here.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..models.detector import Detector3D
+
+# model.type -> (num_scales, share_heads, with_bbox, with_mask,
+#                with_refinement)
+_TYPES = {
+    "RPN3D": dict(num_scales=1, with_bbox=False, with_mask=False),
+    "FasterRCNN3D": dict(num_scales=1, with_mask=False),
+    "MaskRCNN3D": dict(num_scales=1),
+    "MaskRCNN3D2Scales": dict(num_scales=2, with_refinement=True),
+    "MaskRCNN3D2ScalesHeads": dict(num_scales=2, share_heads=False),
+    "MaskRCNN3D2ScalesHeadsRefinementHead": dict(
+        num_scales=2, share_heads=False, with_refinement=True, with_mask=False
+    ),
+    "MaskRCNN3D3ScalesHeads": dict(num_scales=3, share_heads=False),
+    "MaskRCNN3D3ScalesOnePathway": dict(num_scales=3, share_heads=True),
+    "MaskRCNN3D2ScalesOnePathwayOneRPN": dict(
+        num_scales=2, share_heads=True, with_refinement=True
+    ),
+}
+
+
+def build_detector(cfg, dtype=jnp.float32):
+    """cfg: full ConfigDict (uses cfg.model).  Returns Detector3D."""
+    m = cfg.model
+    kind = m["type"]
+    if kind not in _TYPES:
+        raise KeyError(f"unknown detector type {kind!r}")
+    flags = dict(_TYPES[kind])
+    flags.setdefault("with_bbox", True)
+    flags.setdefault("with_mask", "mask_head" in m)
+    flags.setdefault("share_heads", True)
+    flags.setdefault("with_refinement", False)
+    flags["with_refinement_mask"] = (
+        flags["with_refinement"] and "refinement_mask_head" in m
+    )
+
+    bbox_head = m.get("bbox_head", {})
+    rpn_head = m.get("rpn_head", {})
+    num_anchors = max(
+        1,
+        len(rpn_head.get("anchor_scales", [1]))
+        * len(rpn_head.get("anchor_ratios", [1.0])),
+    )
+    return Detector3D(
+        depth=m["backbone"]["depth"],
+        fpn_channels=m["neck"]["out_channels"],
+        num_outs=m["neck"]["num_outs"],
+        num_classes=bbox_head.get("num_classes", 2),
+        num_anchors=num_anchors,
+        fc_out_channels=bbox_head.get("fc_out_channels", 1024),
+        mask_convs=m.get("mask_head", {}).get("num_convs", 4),
+        remat=m.get("backbone", {}).get("with_cp", False),
+        dtype=dtype,
+        **flags,
+    )
+
+
+def anchor_cfgs(cfg):
+    """Per-scale anchor config dicts (rpn_head, rpn_head_2, rpn_head_3)."""
+    out = [cfg.model["rpn_head"]]
+    for key in ("rpn_head_2", "rpn_head_3"):
+        if key in cfg.model:
+            out.append(cfg.model[key])
+    return out

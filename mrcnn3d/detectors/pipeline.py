@@ -1,0 +1,680 @@
+"""Detector orchestration: proposals, training losses, inference.
+
+Pure-function equivalents of the reference's detector classes
+(mmdet/models/detectors/two_stage_3d.py, two_stage_3d_2scales.py) —
+everything here is jit-compatible with static padded shapes:
+
+  * proposal generation — reference rpn_head_3d.py:72-149 get_bboxes_single
+  * RPN losses          — reference anchor_head_3d.py:127-230 (flattened
+    across levels; per-level sums with a shared avg_factor are identical
+    to one flat sum)
+  * R-CNN stage         — reference two_stage_3d_2scales.py:180-257
+  * refinement stage    — reference two_stage_3d_2scales.py:259-298, but
+    fully in-graph (the reference round-trips GPU→numpy→GPU, :263-267)
+  * mask stage          — reference two_stage_3d_2scales.py:301-327
+  * simple_test         — reference two_stage_3d_2scales.py:335-434
+
+The batch layout is channel-last volumes (B, D, H, W, 3) plus padded GT:
+gt_boxes (B, G, 6), gt_labels (B, G), gt_valid (B, G), gt_masks
+(B, G, D, H, W) uint8.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.anchors import AnchorGenerator3D, anchor_inside_flags
+from ..core.post import multiclass_nms_3d
+from ..core.targets import (
+    anchor_target_single,
+    mask_target_single,
+    sample_rcnn_single,
+)
+from ..ops.box3d import delta2bbox3d
+from ..ops.losses import (
+    accuracy,
+    mask_cross_entropy,
+    weighted_binary_cross_entropy,
+    weighted_cross_entropy,
+    weighted_smoothl1,
+)
+from ..ops.nms3d import nms_3d
+from ..ops.roi_align3d import multi_level_roi_align_3d
+
+RPN_MEANS = (0.0,) * 6
+RPN_STDS = (1.0,) * 6
+
+
+class AnchorSet(NamedTuple):
+    """Static per-level anchors + inside-image flags (numpy constants)."""
+
+    anchors: Sequence[np.ndarray]  # per level (Nl, 6)
+    inside: Sequence[np.ndarray]  # per level (Nl,) bool
+
+
+def build_anchor_set(featmap_sizes, img_shape, anchor_cfg, allowed_border=0):
+    """Build the per-level anchor lattice for static feature sizes.
+
+    featmap_sizes: list of (d, h, w); img_shape: (H, W, C, D) reference
+    layout; anchor_cfg: dict with anchor_scales / anchor_depth_scales /
+    anchor_ratios / anchor_strides / anchor_strides_depth (reference
+    config keys, configs/3d-multi-resolution-rcnn.py:16-28).
+    """
+    strides = anchor_cfg["anchor_strides"]
+    dstrides = anchor_cfg["anchor_strides_depth"]
+    anchors, inside = [], []
+    for lvl, (d, h, w) in enumerate(featmap_sizes):
+        gen = AnchorGenerator3D(
+            base_size=strides[lvl],
+            scales=anchor_cfg["anchor_scales"],
+            depth_scales=anchor_cfg["anchor_depth_scales"],
+            ratios=anchor_cfg["anchor_ratios"],
+            anchor_depth_base=dstrides[lvl],
+        )
+        a = gen.grid_anchors((d, h, w), strides[lvl], dstrides[lvl])
+        flags = gen.valid_flags((d, h, w), (d, h, w))
+        ins = anchor_inside_flags(a, flags, img_shape, allowed_border)
+        anchors.append(a)
+        inside.append(np.asarray(ins))
+    return AnchorSet(anchors, inside)
+
+
+# ---------------------------------------------------------------------------
+# proposals
+# ---------------------------------------------------------------------------
+
+
+def gen_proposals_single(
+    cls_list, reg_list, anchor_set, img_shape, cfg
+):
+    """RPN proposals for one image (reference get_bboxes_single).
+
+    cls_list[l]: (d, h, w, A); reg_list[l]: (d, h, w, A*6).
+    Returns (boxes (M, 6), scores (M,), valid (M,)) with M = max_num.
+    """
+    nms_pre = cfg["nms_pre"]
+    nms_post = cfg["nms_post"]
+    max_num = cfg["max_num"]
+    nms_thr = cfg["nms_thr"]
+
+    lvl_boxes, lvl_scores, lvl_valid = [], [], []
+    for lvl in range(len(cls_list)):
+        scores = jax.nn.sigmoid(cls_list[lvl].reshape(-1))
+        deltas = reg_list[lvl].reshape(-1, 6)
+        anchors = jnp.asarray(anchor_set.anchors[lvl])
+        n = scores.shape[0]
+        if n > nms_pre:
+            # inside-image pre-filter parity (reference :96-106 pos_indices)
+            inside = jnp.asarray(anchor_set.inside[lvl])
+            neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+            masked = jnp.where(inside, scores, neg_inf)
+            top_s, top_i = jax.lax.top_k(masked, nms_pre)
+            anchors = anchors[top_i]
+            deltas = deltas[top_i]
+            valid = top_s > neg_inf
+            scores = jnp.where(valid, top_s, 0.0)
+        else:
+            valid = jnp.ones((n,), bool)
+        boxes = delta2bbox3d(
+            anchors, deltas, RPN_MEANS, RPN_STDS, img_shape
+        )
+        k_out = min(nms_post, boxes.shape[0])
+        b, s, v = nms_3d(boxes, scores, valid, nms_thr, k_out)
+        lvl_boxes.append(b)
+        lvl_scores.append(jnp.where(v, s, -jnp.inf))
+        lvl_valid.append(v)
+
+    boxes = jnp.concatenate(lvl_boxes, axis=0)
+    scores = jnp.concatenate(lvl_scores, axis=0)
+    valid = jnp.concatenate(lvl_valid, axis=0)
+    num = min(max_num, boxes.shape[0])
+    top_s, top_i = jax.lax.top_k(scores, num)
+    out_valid = (top_s > -jnp.inf) & valid[top_i]
+    out_boxes = jnp.where(out_valid[:, None], boxes[top_i], 0.0)
+    out_scores = jnp.where(out_valid, top_s, 0.0)
+    return out_boxes, out_scores, out_valid
+
+
+def gen_proposals(cls_outs, reg_outs, anchor_set, img_shape, cfg):
+    """Batched proposals. cls_outs[l]: (B, d, h, w, A)."""
+
+    def single(cls_l, reg_l):
+        return gen_proposals_single(cls_l, reg_l, anchor_set, img_shape, cfg)
+
+    return jax.vmap(single)(cls_outs, reg_outs)
+
+
+# ---------------------------------------------------------------------------
+# losses
+# ---------------------------------------------------------------------------
+
+
+def rpn_loss(
+    cls_outs,
+    reg_outs,
+    anchor_set,
+    gt_boxes,
+    gt_valid,
+    rng,
+    cfg_rpn,
+    suffix="",
+):
+    """RPN cls+reg loss over the flat multi-level anchor set (batched).
+
+    cls_outs[l]: (B, d, h, w, A); reg_outs[l]: (B, d, h, w, A*6).
+    """
+    b = cls_outs[0].shape[0]
+    cls_flat = jnp.concatenate(
+        [c.reshape(b, -1) for c in cls_outs], axis=1
+    )  # (B, A)
+    reg_flat = jnp.concatenate(
+        [r.reshape(b, -1, 6) for r in reg_outs], axis=1
+    )  # (B, A, 6)
+    anchors = jnp.asarray(np.concatenate(anchor_set.anchors, axis=0))
+    inside = jnp.asarray(np.concatenate(anchor_set.inside, axis=0))
+
+    keys = jax.random.split(rng, b)
+    tgt = jax.vmap(
+        lambda k, gb, gv: anchor_target_single(
+            k, anchors, inside, gb, gv, cfg_rpn, RPN_MEANS, RPN_STDS
+        )
+    )(keys, gt_boxes, gt_valid)
+
+    num_total = jnp.sum(tgt["num_pos"]) + jnp.sum(tgt["num_neg"])
+    num_total = num_total.astype(jnp.float32)
+
+    loss_cls = weighted_binary_cross_entropy(
+        cls_flat.reshape(-1),
+        tgt["labels"].reshape(-1),
+        tgt["label_weights"].reshape(-1),
+        num_total,
+    )
+    loss_reg = weighted_smoothl1(
+        reg_flat.reshape(-1, 6),
+        tgt["bbox_targets"].reshape(-1, 6),
+        tgt["bbox_weights"].reshape(-1, 6),
+        cfg_rpn.get("smoothl1_beta", 1.0 / 9.0),
+        num_total,
+    )
+    return {f"loss_rpn_cls{suffix}": loss_cls, f"loss_rpn_reg{suffix}": loss_reg}
+
+
+def flat_rois(boxes, valid=None):
+    """(B, R, 6) -> (B*R, 7) [batch, x1..z2] (reference bbox2roi3D)."""
+    b, r, _ = boxes.shape
+    batch_idx = jnp.repeat(jnp.arange(b, dtype=boxes.dtype), r)
+    flat = boxes.reshape(b * r, 6)
+    rois = jnp.concatenate([batch_idx[:, None], flat], axis=1)
+    if valid is None:
+        return rois
+    return rois, valid.reshape(b * r)
+
+
+def bbox_stage_loss(
+    cls_score,
+    bbox_pred,
+    samples,
+    num_classes,
+    pos_weight,
+    suffix="",
+):
+    """R-CNN bbox head loss (reference bbox_head_3d.py:86-135).
+
+    cls_score (N, C), bbox_pred (N, 6C) over flattened batch samples;
+    `samples` is the vmapped RcnnSample pytree (leading batch dim).
+    """
+    labels = samples.labels.reshape(-1)
+    roi_valid = samples.roi_valid.reshape(-1)
+    is_pos = samples.is_pos.reshape(-1)
+    bbox_targets = samples.bbox_targets.reshape(-1, 6)
+
+    pw = 1.0 if pos_weight <= 0 else float(pos_weight)
+    label_weights = jnp.where(
+        roi_valid, jnp.where(is_pos, pw, 1.0), 0.0
+    )
+    avg_cls = jnp.maximum(jnp.sum(label_weights > 0), 1.0)
+    loss_cls = weighted_cross_entropy(
+        cls_score, labels, label_weights, avg_cls
+    )
+    acc = accuracy(cls_score, labels, roi_valid)
+
+    # class-specific delta slice (reference loss :108-113)
+    per_class = bbox_pred.reshape(bbox_pred.shape[0], num_classes, 6)
+    pred = jnp.take_along_axis(
+        per_class, labels[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0]
+    reg_w = jnp.where(is_pos[:, None], 1.0, 0.0)
+    avg_reg = (
+        jnp.sum(samples.pos_count) + jnp.sum(samples.neg_count)
+    ).astype(jnp.float32)
+    loss_reg = weighted_smoothl1(
+        pred, bbox_targets, reg_w, 1.0, avg_reg
+    )
+    return {
+        f"loss_cls{suffix}": loss_cls,
+        f"acc{suffix}": acc,
+        f"loss_reg{suffix}": loss_reg,
+    }
+
+
+# ---------------------------------------------------------------------------
+# full train forward
+# ---------------------------------------------------------------------------
+
+
+def forward_train(model, variables, batch, rng, cfg, anchor_sets):
+    """Full training forward returning the named loss dict.
+
+    Args:
+      model: Detector3D; variables: flax variables dict.
+      batch: dict with per-scale entries:
+        imgs: (B, D, H, W, 3); gt_boxes (B, G, 6); gt_labels (B, G);
+        gt_valid (B, G); gt_masks (B, G, D, H, W) if with_mask;
+        imgs_2 / gt_boxes_2 / ... when num_scales == 2.
+      cfg: ConfigDict with train_cfg (rpn/rpn_proposal/rcnn) + model keys.
+      anchor_sets: list of AnchorSet per scale (static).
+
+    Returns (total_loss, loss_dict).
+    """
+    train_cfg = cfg.train_cfg
+    rcnn_cfg = train_cfg["rcnn"]
+    num_classes = model.num_classes
+    apply = functools.partial(model.apply, variables)
+
+    scales = range(model.num_scales)
+    suffixes = ["", "_2", "_3"][: model.num_scales]
+    rngs = jax.random.split(rng, 8)
+
+    losses = {}
+    feats_s, props_s, samples_s = [], [], []
+    for s in scales:
+        sfx = suffixes[s]
+        imgs = batch["imgs" + sfx]
+        gtb = batch["gt_boxes" + sfx]
+        gtv = batch["gt_valid" + sfx]
+        gtl = batch["gt_labels" + sfx]
+        img_shape = (
+            imgs.shape[2],
+            imgs.shape[3],
+            3,
+            imgs.shape[1],
+        )  # (H, W, C, D)
+
+        feats = apply(imgs, method=model.extract_feat)
+        rpn_outs = apply(feats, s, method=model.rpn)
+        cls_outs = [o[0] for o in rpn_outs]
+        reg_outs = [o[1] for o in rpn_outs]
+
+        losses.update(
+            rpn_loss(
+                cls_outs,
+                reg_outs,
+                anchor_sets[s],
+                gtb,
+                gtv,
+                rngs[s],
+                train_cfg["rpn"],
+                suffix=sfx,
+            )
+        )
+
+        pboxes, pscores, pvalid = gen_proposals(
+            cls_outs,
+            reg_outs,
+            anchor_sets[s],
+            img_shape,
+            train_cfg["rpn_proposal"],
+        )
+        # proposals feed assignment but carry no gradient (reference
+        # get_bboxes operates on .detach()ed tensors)
+        pboxes = jax.lax.stop_gradient(pboxes)
+        pscores = jax.lax.stop_gradient(pscores)
+
+        b = imgs.shape[0]
+        keys = jax.random.split(rngs[3 + s], b)
+        samples = jax.vmap(
+            lambda k, pb, pv, gb, gv, gl: sample_rcnn_single(
+                k,
+                pb,
+                pv,
+                gb,
+                gv,
+                gl,
+                rcnn_cfg,
+                tuple(cfg.model["bbox_head"]["target_means"]),
+                tuple(cfg.model["bbox_head"]["target_stds"]),
+                num_classes=num_classes,
+            )
+        )(keys, pboxes, pvalid, gtb, gtv, gtl)
+
+        feats_s.append(feats)
+        props_s.append((pboxes, pscores, pvalid))
+        samples_s.append(samples)
+
+    # ---- shared bbox head over all scales (reference :239-257) ----
+    roi_cfg = cfg.model["bbox_roi_extractor"]
+    cls_all, pred_all = [], []
+    roi_feats_s = []
+    for s in scales:
+        rois, rvalid = flat_rois(
+            samples_s[s].rois, samples_s[s].roi_valid
+        )
+        roi_feats = multi_level_roi_align_3d(
+            list(feats_s[s][: len(roi_cfg["featmap_strides"])]),
+            rois,
+            roi_cfg["roi_layer"]["out_size"],
+            roi_cfg["roi_layer"]["out_size_depth"],
+            roi_cfg["featmap_strides"],
+            roi_cfg["featmap_strides_depth"],
+            roi_cfg["roi_layer"]["sample_num"],
+            valid=rvalid,
+        )
+        roi_feats_s.append(roi_feats)
+        c, p = apply(roi_feats, s, method=model.bbox_forward)
+        cls_all.append(c)
+        pred_all.append(p)
+
+    if model.share_heads:
+        cls_cat = jnp.concatenate(cls_all, axis=0)
+        pred_cat = jnp.concatenate(pred_all, axis=0)
+        samples_cat = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *samples_s
+        )
+        losses.update(
+            bbox_stage_loss(
+                cls_cat,
+                pred_cat,
+                samples_cat,
+                num_classes,
+                rcnn_cfg.get("pos_weight", -1),
+            )
+        )
+    else:
+        for s in scales:
+            losses.update(
+                bbox_stage_loss(
+                    cls_all[s],
+                    pred_all[s],
+                    samples_s[s],
+                    num_classes,
+                    rcnn_cfg.get("pos_weight", -1),
+                    suffix=suffixes[s],
+                )
+            )
+
+    # ---- refinement head (reference :259-298, kept in-graph) ----
+    if model.with_refinement:
+        upscale = cfg.get("upscale_factor", 1.5)
+        imgs2 = batch["imgs_2"]
+        img_shape2 = (imgs2.shape[2], imgs2.shape[3], 3, imgs2.shape[1])
+        rois2, _ = flat_rois(samples_s[1].rois, samples_s[1].roi_valid)
+        decoded = delta2bbox3d(
+            rois2[:, 1:],
+            jax.lax.stop_gradient(pred_all[1]),
+            tuple(cfg.model["bbox_head"]["target_means"]),
+            tuple(cfg.model["bbox_head"]["target_stds"]),
+            img_shape2,
+        )
+        b = batch["imgs"].shape[0]
+        r = samples_s[1].rois.shape[1]
+        # class-1 boxes scaled back to the 1.0x frame (reference :263-267)
+        pred_boxes = decoded.reshape(b, r, num_classes * 6)[..., 6:12] / upscale
+        ref_valid = samples_s[1].roi_valid
+
+        keys = jax.random.split(rngs[6], b)
+        ref_samples = jax.vmap(
+            lambda k, pb, pv, gb, gv, gl: sample_rcnn_single(
+                k,
+                pb,
+                pv,
+                gb,
+                gv,
+                gl,
+                rcnn_cfg,
+                tuple(cfg.model["bbox_head"]["target_means"]),
+                tuple(cfg.model["bbox_head"]["target_stds"]),
+                num_classes=num_classes,
+            )
+        )(
+            keys,
+            pred_boxes,
+            ref_valid,
+            batch["gt_boxes"],
+            batch["gt_valid"],
+            batch["gt_labels"],
+        )
+        rrois, rvalid = flat_rois(ref_samples.rois, ref_samples.roi_valid)
+        ref_feats = multi_level_roi_align_3d(
+            list(feats_s[0][: len(roi_cfg["featmap_strides"])]),
+            rrois,
+            roi_cfg["roi_layer"]["out_size"],
+            roi_cfg["roi_layer"]["out_size_depth"],
+            roi_cfg["featmap_strides"],
+            roi_cfg["featmap_strides_depth"],
+            roi_cfg["roi_layer"]["sample_num"],
+            valid=rvalid,
+        )
+        ref_pred = apply(ref_feats, method=model.refinement_forward)
+        labels = ref_samples.labels.reshape(-1)
+        per_class = ref_pred.reshape(ref_pred.shape[0], num_classes, 6)
+        pred_sel = jnp.take_along_axis(
+            per_class, labels[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0]
+        is_pos = ref_samples.is_pos.reshape(-1)
+        avg = (
+            jnp.sum(ref_samples.pos_count) + jnp.sum(ref_samples.neg_count)
+        ).astype(jnp.float32)
+        losses["loss_refinement_reg"] = weighted_smoothl1(
+            pred_sel,
+            ref_samples.bbox_targets.reshape(-1, 6),
+            jnp.where(is_pos[:, None], 1.0, 0.0),
+            1.0,
+            avg,
+        )
+
+    # ---- mask heads (reference :301-327) ----
+    if model.with_mask:
+        mask_roi_cfg = cfg.model["mask_roi_extractor"]
+        mcfg = rcnn_cfg
+
+        def mask_branch(samples, fwd):
+            # positives = first pos slots of each image's packed sample
+            pos_quota = int(
+                round(mcfg["sampler"]["num"] * mcfg["sampler"]["pos_fraction"])
+            )
+            pos_rois = samples.rois[:, :pos_quota]
+            pos_mask = samples.is_pos[:, :pos_quota]
+            pos_gt = samples.gt_idx[:, :pos_quota]
+            pos_labels = samples.labels[:, :pos_quota]
+
+            rois, rvalid = flat_rois(pos_rois, pos_mask)
+            mfeats = multi_level_roi_align_3d(
+                list(feats_s[0][: len(mask_roi_cfg["featmap_strides"])]),
+                rois,
+                mask_roi_cfg["roi_layer"]["out_size"],
+                mask_roi_cfg["roi_layer"]["out_size_depth"],
+                mask_roi_cfg["featmap_strides"],
+                mask_roi_cfg["featmap_strides_depth"],
+                mask_roi_cfg["roi_layer"]["sample_num"],
+                valid=rvalid,
+            )
+            mpred = fwd(mfeats)
+            mtargets = jax.vmap(
+                lambda pr, pm, pgi, gm: mask_target_single(
+                    pr,
+                    pm,
+                    pgi,
+                    gm,
+                    mcfg["mask_size"],
+                    mcfg["mask_size_depth"],
+                )
+            )(pos_rois, pos_mask, pos_gt, batch["gt_masks"])
+            flat_targets = mtargets.reshape(
+                -1, mcfg["mask_size_depth"], mcfg["mask_size"], mcfg["mask_size"]
+            )
+            return mask_cross_entropy(
+                mpred,
+                flat_targets,
+                pos_labels.reshape(-1),
+                valid=rvalid,
+            )
+
+        losses["loss_mask"] = mask_branch(
+            samples_s[0],
+            lambda f: apply(f, 0, method=model.mask_forward),
+        )
+        if model.with_refinement_mask and model.with_refinement:
+            losses["loss_mask_refinement"] = mask_branch(
+                ref_samples,
+                lambda f: apply(f, method=model.refinement_mask_forward),
+            )
+
+    # total = sum of entries whose key contains 'loss' (reference
+    # apis/train.py:17-34 parse_losses)
+    total = sum(v for k, v in losses.items() if "loss" in k)
+    return total, losses
+
+
+# ---------------------------------------------------------------------------
+# inference
+# ---------------------------------------------------------------------------
+
+
+def _roi_align_cfg(feats, rois, roi_cfg, valid=None):
+    return multi_level_roi_align_3d(
+        list(feats[: len(roi_cfg["featmap_strides"])]),
+        rois,
+        roi_cfg["roi_layer"]["out_size"],
+        roi_cfg["roi_layer"]["out_size_depth"],
+        roi_cfg["featmap_strides"],
+        roi_cfg["featmap_strides_depth"],
+        roi_cfg["roi_layer"]["sample_num"],
+        valid=valid,
+    )
+
+
+def simple_test(
+    model,
+    variables,
+    batch,
+    cfg,
+    anchor_sets,
+    rescale=True,
+):
+    """Whole-volume inference (reference simple_test, two_stage_3d_2scales.py:335-434).
+
+    batch: dict with imgs (B, D, H, W, 3) and, for 2-scale models, imgs_2.
+    Returns dict with dets (B, max_per_img, 7), labels (B, max_per_img),
+    valid (B, max_per_img) in the 1.0x (original) coordinate frame when
+    rescale=True.
+    """
+    test_cfg = cfg.test_cfg
+    rcnn_test = test_cfg["rcnn"]
+    num_classes = model.num_classes
+    apply = functools.partial(model.apply, variables)
+    roi_cfg = cfg.model["bbox_roi_extractor"]
+    upscale = cfg.get("upscale_factor", 1.5)
+    suffixes = ["", "_2", "_3"][: model.num_scales]
+
+    feats_s, boxes_s, scores_s, valid_s = [], [], [], []
+    for s in range(model.num_scales):
+        sfx = suffixes[s]
+        imgs = batch["imgs" + sfx]
+        b = imgs.shape[0]
+        img_shape = (imgs.shape[2], imgs.shape[3], 3, imgs.shape[1])
+        feats = apply(imgs, method=model.extract_feat)
+        rpn_outs = apply(feats, s, method=model.rpn)
+        cls_outs = [o[0] for o in rpn_outs]
+        reg_outs = [o[1] for o in rpn_outs]
+        pboxes, pscores, pvalid = gen_proposals(
+            cls_outs, reg_outs, anchor_sets[s], img_shape, test_cfg["rpn"]
+        )
+        rois, rvalid = flat_rois(pboxes, pvalid)
+        roi_feats = _roi_align_cfg(feats, rois, roi_cfg, rvalid)
+        cls_score, bbox_pred = apply(roi_feats, s, method=model.bbox_forward)
+        scores = jax.nn.softmax(cls_score, axis=-1)
+        boxes = delta2bbox3d(
+            rois[:, 1:],
+            bbox_pred,
+            tuple(cfg.model["bbox_head"]["target_means"]),
+            tuple(cfg.model["bbox_head"]["target_stds"]),
+            img_shape,
+        )
+        scale_factor = 1.0 if s == 0 else upscale ** s
+        if rescale and scale_factor != 1.0:
+            boxes = boxes / scale_factor
+        m = pboxes.shape[1]
+        feats_s.append(feats)
+        boxes_s.append(boxes.reshape(b, m, -1))
+        scores_s.append(scores.reshape(b, m, -1))
+        valid_s.append(rvalid.reshape(b, m))
+
+    if model.with_refinement and model.num_scales >= 2:
+        # refine scale-2 class-1 boxes on 1.0x features (reference
+        # :360-364 + test_mixins_3d.py:102-128)
+        imgs = batch["imgs"]
+        b = imgs.shape[0]
+        img_shape = (imgs.shape[2], imgs.shape[3], 3, imgs.shape[1])
+        ref_in = boxes_s[1][..., 6:12]
+        rois, rvalid = flat_rois(ref_in, valid_s[1])
+        roi_feats = _roi_align_cfg(feats_s[0], rois, roi_cfg, rvalid)
+        ref_pred = apply(roi_feats, method=model.refinement_forward)
+        ref_boxes = delta2bbox3d(
+            rois[:, 1:],
+            ref_pred,
+            tuple(cfg.model["bbox_head"]["target_means"]),
+            tuple(cfg.model["bbox_head"]["target_stds"]),
+            img_shape,
+        )
+        m = ref_in.shape[1]
+        boxes_s[1] = ref_boxes.reshape(b, m, -1)
+
+    boxes_all = jnp.concatenate(boxes_s, axis=1)
+    scores_all = jnp.concatenate(scores_s, axis=1)
+    valid_all = jnp.concatenate(valid_s, axis=1)
+
+    def nms_one(bx, sc, vd):
+        return multiclass_nms_3d(
+            bx,
+            sc,
+            vd,
+            rcnn_test["score_thr"],
+            rcnn_test["nms"]["iou_thr"],
+            rcnn_test["max_per_img"],
+        )
+
+    dets, labels, dvalid = jax.vmap(nms_one)(
+        boxes_all, scores_all, valid_all
+    )
+    out = dict(dets=dets, labels=labels, valid=dvalid)
+
+    if model.with_mask and not test_cfg.get("return_bbox_only", False):
+        # mask head on the 1.0x features for all surviving detections
+        mask_roi_cfg = cfg.model["mask_roi_extractor"]
+        det_boxes = dets[..., :6]
+        if rescale:
+            # det boxes are in ori frame == 1.0x feature frame here
+            pass
+        rois, rvalid = flat_rois(det_boxes, dvalid)
+        mfeats = _roi_align_cfg(feats_s[0], rois, mask_roi_cfg, rvalid)
+        mpred = apply(mfeats, 0, method=model.mask_forward)
+        out["mask_logits"] = mpred
+    return out
+
+
+def bbox2result3d(dets, labels, valid, num_classes):
+    """Per-class numpy result lists (reference transforms.py:274-292).
+
+    dets (M, 7), labels (M,), valid (M,) -> list of (n_c, 7) float32
+    arrays for classes 0..num_classes-2 (background excluded).
+    """
+    dets = np.asarray(dets)
+    labels = np.asarray(labels)
+    valid = np.asarray(valid).astype(bool)
+    return [
+        dets[valid & (labels == c)] for c in range(num_classes - 1)
+    ]

@@ -1,0 +1,158 @@
+"""Unified 3-D detector module (flax).
+
+One parameterised module covers the reference's detector family
+(mmdet/models/detectors/__init__.py) instead of six copy-pasted classes —
+the variants differ only in pathway count and head sharing, which is
+configuration, not code (SURVEY.md section 7):
+
+  * RPN3D                     — with_bbox=False, with_mask=False
+  * FasterRCNN3D              — with_mask=False
+  * MaskRCNN3D                — single resolution
+  * MaskRCNN3D2Scales         — shared heads + second RPN + refinement
+    (reference two_stage_3d_2scales.py:22-89)
+  * ...2ScalesHeads           — share_heads=False (separate per-scale heads,
+    reference two_stage_3d_2scales_heads.py:64,82)
+  * ...3ScalesHeads           — num_scales=3
+
+The module owns *parameters only*; orchestration (proposal generation,
+assignment, sampling, losses, NMS) lives in mrcnn3d/detectors/pipeline.py
+as pure functions.
+"""
+from __future__ import annotations
+
+from dataclasses import field
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .fpn3d import FPN3D
+from .heads import (
+    FCNMaskHead3D,
+    RPNHead3D,
+    SharedFCBBoxHead3D,
+    SharedFCBBoxHead3DRefinement,
+)
+from .resnet3d import ResNet3D
+
+
+class Detector3D(nn.Module):
+    """Backbone + FPN + per-scale RPN/bbox/mask heads + refinement head."""
+
+    depth: int = 50
+    fpn_channels: int = 64
+    num_outs: int = 5
+    num_classes: int = 2
+    num_anchors: int = 1
+    num_scales: int = 1
+    share_heads: bool = True  # one bbox/mask head across scales
+    with_bbox: bool = True
+    with_mask: bool = True
+    with_refinement: bool = False
+    with_refinement_mask: bool = False
+    fc_out_channels: int = 1024
+    mask_convs: int = 4
+    remat: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = ResNet3D(
+            depth=self.depth, remat=self.remat, dtype=self.dtype
+        )
+        self.neck = FPN3D(
+            out_channels=self.fpn_channels,
+            num_outs=self.num_outs,
+            dtype=self.dtype,
+        )
+        self.rpn_heads = [
+            RPNHead3D(
+                feat_channels=self.fpn_channels,
+                num_anchors=self.num_anchors,
+                dtype=self.dtype,
+                name=f"rpn_head_{s}",
+            )
+            for s in range(self.num_scales)
+        ]
+        if self.with_bbox:
+            n_bbox_heads = 1 if self.share_heads else self.num_scales
+            self.bbox_heads = [
+                SharedFCBBoxHead3D(
+                    fc_out_channels=self.fc_out_channels,
+                    num_classes=self.num_classes,
+                    dtype=self.dtype,
+                    name=f"bbox_head_{s}",
+                )
+                for s in range(n_bbox_heads)
+            ]
+        if self.with_refinement:
+            self.refinement_head = SharedFCBBoxHead3DRefinement(
+                fc_out_channels=self.fc_out_channels,
+                num_classes=self.num_classes,
+                dtype=self.dtype,
+            )
+        if self.with_mask:
+            n_mask_heads = 1 if self.share_heads else self.num_scales
+            self.mask_heads = [
+                FCNMaskHead3D(
+                    num_convs=self.mask_convs,
+                    conv_out_channels=self.fpn_channels,
+                    num_classes=self.num_classes,
+                    dtype=self.dtype,
+                    name=f"mask_head_{s}",
+                )
+                for s in range(n_mask_heads)
+            ]
+        if self.with_refinement_mask:
+            self.refinement_mask_head = FCNMaskHead3D(
+                num_convs=self.mask_convs,
+                conv_out_channels=self.fpn_channels,
+                num_classes=self.num_classes,
+                dtype=self.dtype,
+            )
+
+    def extract_feat(self, x):
+        """(B, D, H, W, 3) -> tuple of FPN levels (B, d, h, w, C)."""
+        return self.neck(self.backbone(x))
+
+    def rpn(self, feats, scale: int = 0):
+        head = self.rpn_heads[scale]
+        return tuple(head(f) for f in feats)
+
+    def bbox_forward(self, roi_feats, scale: int = 0):
+        head = self.bbox_heads[0 if self.share_heads else scale]
+        return head(roi_feats)
+
+    def refinement_forward(self, roi_feats):
+        return self.refinement_head(roi_feats)
+
+    def mask_forward(self, roi_feats, scale: int = 0):
+        head = self.mask_heads[0 if self.share_heads else scale]
+        return head(roi_feats)
+
+    def refinement_mask_forward(self, roi_feats):
+        return self.refinement_mask_head(roi_feats)
+
+    def __call__(self, x):
+        """Default apply: features + first-scale RPN outputs (for init)."""
+        feats = self.extract_feat(x)
+        outs = [self.rpn(feats, s) for s in range(self.num_scales)]
+        extras = {}
+        if self.with_bbox:
+            n = 1 if self.share_heads else self.num_scales
+            dummy = jnp.zeros(
+                (1, 3, 7, 7, self.fpn_channels), self.dtype
+            )
+            for s in range(n):
+                extras[f"bbox_{s}"] = self.bbox_forward(dummy, s)
+        if self.with_refinement:
+            dummy = jnp.zeros((1, 3, 7, 7, self.fpn_channels), self.dtype)
+            extras["refinement"] = self.refinement_forward(dummy)
+        if self.with_mask:
+            n = 1 if self.share_heads else self.num_scales
+            dummy = jnp.zeros((1, 10, 14, 14, self.fpn_channels), self.dtype)
+            for s in range(n):
+                extras[f"mask_{s}"] = self.mask_forward(dummy, s)
+        if self.with_refinement_mask:
+            dummy = jnp.zeros((1, 10, 14, 14, self.fpn_channels), self.dtype)
+            extras["refinement_mask"] = self.refinement_mask_forward(dummy)
+        return feats, outs, extras

@@ -1,0 +1,130 @@
+"""Detection heads (flax, channel-last).
+
+  * RPNHead3D — reference mmdet/models/anchor_heads/rpn_head_3d.py:15-35:
+    3×3×3 conv + ReLU, then 1×1×1 cls (A*1 sigmoid) and reg (A*6) convs.
+  * SharedFCBBoxHead3D — reference convfc_bbox_head_3d.py (SharedFC
+    variant): flatten RoI features, 2× fc(1024)+ReLU, fc_cls(num_classes),
+    fc_reg(6*num_classes).
+  * SharedFCBBoxHead3DRefinement — regression-only twin (reference
+    bbox_head_3d_refinement.py / convfc_bbox_head_3d_refinement_head.py).
+  * FCNMaskHead3D — reference fcn_mask_head_3d.py:16-98: 4× 3×3×3 conv
+    (+bias +ReLU), 2× deconv upsample + ReLU, 1×1×1 per-class logits.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class RPNHead3D(nn.Module):
+    feat_channels: int = 64
+    num_anchors: int = 1
+    cls_out_channels: int = 1  # sigmoid cls
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.feat_channels,
+            (3, 3, 3),
+            padding=1,
+            dtype=self.dtype,
+            name="rpn_conv",
+        )(x)
+        x = nn.relu(x)
+        cls = nn.Conv(
+            self.num_anchors * self.cls_out_channels,
+            (1, 1, 1),
+            dtype=self.dtype,
+            name="rpn_cls",
+        )(x)
+        reg = nn.Conv(
+            self.num_anchors * 6, (1, 1, 1), dtype=self.dtype, name="rpn_reg"
+        )(x)
+        return cls, reg
+
+
+class SharedFCBBoxHead3D(nn.Module):
+    num_fcs: int = 2
+    fc_out_channels: int = 1024
+    num_classes: int = 2
+    reg_class_agnostic: bool = False
+    with_cls: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (N, Dp, Hp, Wp, C) pooled RoI features
+        x = x.reshape(x.shape[0], -1)
+        for i in range(self.num_fcs):
+            x = nn.Dense(
+                self.fc_out_channels, dtype=self.dtype, name=f"shared_fc_{i}"
+            )(x)
+            x = nn.relu(x)
+        cls_score = (
+            nn.Dense(self.num_classes, dtype=self.dtype, name="fc_cls")(x)
+            if self.with_cls
+            else None
+        )
+        out_reg = 6 if self.reg_class_agnostic else 6 * self.num_classes
+        bbox_pred = nn.Dense(out_reg, dtype=self.dtype, name="fc_reg")(x)
+        return cls_score, bbox_pred
+
+
+class SharedFCBBoxHead3DRefinement(nn.Module):
+    """Regression-only refinement head (no classification branch)."""
+
+    num_fcs: int = 2
+    fc_out_channels: int = 1024
+    num_classes: int = 2
+    reg_class_agnostic: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.reshape(x.shape[0], -1)
+        for i in range(self.num_fcs):
+            x = nn.Dense(
+                self.fc_out_channels, dtype=self.dtype, name=f"shared_fc_{i}"
+            )(x)
+            x = nn.relu(x)
+        out_reg = 6 if self.reg_class_agnostic else 6 * self.num_classes
+        return nn.Dense(out_reg, dtype=self.dtype, name="fc_reg")(x)
+
+
+class FCNMaskHead3D(nn.Module):
+    num_convs: int = 4
+    conv_out_channels: int = 64
+    num_classes: int = 2
+    upsample_ratio: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (N, Dp, Hp, Wp, C)
+        for i in range(self.num_convs):
+            x = nn.Conv(
+                self.conv_out_channels,
+                (3, 3, 3),
+                padding=1,
+                use_bias=True,
+                dtype=self.dtype,
+                name=f"conv_{i}",
+            )(x)
+            x = nn.relu(x)
+        r = self.upsample_ratio
+        x = nn.ConvTranspose(
+            self.conv_out_channels,
+            (r, r, r),
+            strides=(r, r, r),
+            dtype=self.dtype,
+            name="upsample",
+        )(x)
+        x = nn.relu(x)
+        logits = nn.Conv(
+            self.num_classes, (1, 1, 1), dtype=self.dtype, name="conv_logits"
+        )(x)
+        # (N, Dm, Hm, Wm, num_classes) -> (N, num_classes, Dm, Hm, Wm)
+        return jnp.moveaxis(logits, -1, 1)
