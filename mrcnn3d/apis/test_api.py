@@ -1,0 +1,106 @@
+"""Inference/eval API (reference tools/test.py + apis/inference.py path).
+
+Whole volumes are jit-compiled per padded shape (shape-bucketed cache);
+detections flow through the patch→global json writers and the 29-stat
+3-D COCO evaluator.
+"""
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..detectors import pipeline as pl
+from ..detectors.build import anchor_cfgs
+from ..eval.coco_eval3d import CocoEval3D
+from ..eval.results import results2json3d
+
+logger = logging.getLogger("mrcnn3d")
+
+
+class InferenceRunner:
+    """Shape-bucketed jitted simple_test over full volumes."""
+
+    def __init__(self, cfg, model, variables):
+        self.cfg = cfg
+        self.model = model
+        self.variables = variables
+        self.acs = anchor_cfgs(cfg)
+        self._cache = {}
+
+    def _get_fn(self, shapes):
+        key = tuple(shapes)
+        if key in self._cache:
+            return self._cache[key]
+        sets = []
+        for (d, h, w), ac in zip(shapes, self.acs):
+            x = jnp.zeros((1, d, h, w, 3))
+            feats = jax.eval_shape(
+                lambda v: self.model.apply(
+                    self.variables, v, method=self.model.extract_feat
+                ),
+                x,
+            )
+            fs = [f.shape[1:4] for f in feats]
+            sets.append(pl.build_anchor_set(fs, (h, w, 3, d), ac))
+
+        model, variables, cfg = self.model, self.variables, self.cfg
+
+        @jax.jit
+        def fn(batch):
+            out = pl.simple_test(model, variables, batch, cfg, sets)
+            return out["dets"], out["labels"], out["valid"]
+
+        self._cache[key] = fn
+        return fn
+
+    def __call__(self, sample):
+        imgs = sample["imgs"][None]
+        batch = {"imgs": jnp.asarray(imgs)}
+        shapes = [imgs.shape[1:4]]
+        if self.model.num_scales >= 2:
+            imgs2 = sample["imgs_2"][None]
+            batch["imgs_2"] = jnp.asarray(imgs2)
+            shapes.append(imgs2.shape[1:4])
+        fn = self._get_fn(shapes)
+        dets, labels, valid = fn(batch)
+        return (
+            np.asarray(dets[0]),
+            np.asarray(labels[0]),
+            np.asarray(valid[0]),
+        )
+
+
+def run_inference(cfg, model, variables, dataset, progress=True):
+    """Returns (per-image per-class results, img_infos)."""
+    runner = InferenceRunner(cfg, model, variables)
+    results, infos = [], []
+    for idx in range(len(dataset)):
+        sample = dataset.prepare_test(idx)
+        dets, labels, valid = runner(sample)
+        per_class = pl.bbox2result3d(
+            dets, labels, valid, model.num_classes
+        )
+        results.append(per_class)
+        infos.append(sample["img_info"])
+        if progress:
+            logger.info(
+                "inference %d/%d: %d dets",
+                idx + 1,
+                len(dataset),
+                int(valid.sum()),
+            )
+    return results, infos
+
+
+def evaluate_dataset(cfg, model, state, dataset, iou_type="bbox"):
+    """In-loop / offline evaluation: 29-stat 3-D COCO summary."""
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    results, infos = run_inference(cfg, model, variables, dataset)
+    entries = results2json3d(results, infos)
+    evaluator = CocoEval3D(dataset.coco, entries, iou_type=iou_type)
+    return evaluator.named_stats(prefix=iou_type)

@@ -1,0 +1,163 @@
+"""Training API — the reference's train_detector/Runner stack as one loop.
+
+Replaces mmdet/apis/train.py + mmcv Runner: epoch loop, per-iter jitted
+step, text logging, checkpoint interval, optional in-loop validation
+(CocoDistEvalmAPHook3D equivalent), LR schedule — without the hook
+machinery: each concern is a few explicit lines.
+"""
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import Prefetcher
+from ..detectors import pipeline as pl
+from ..detectors.build import anchor_cfgs, build_detector
+from ..parallel.mesh import make_mesh
+from ..train import checkpoint as ckpt
+from ..train.optim import make_optimizer, step_lr_schedule
+from ..train.step import create_train_state, make_train_step
+
+
+def get_root_logger(log_level=logging.INFO):
+    logging.basicConfig(
+        format="%(asctime)s - %(levelname)s - %(message)s", level=log_level
+    )
+    return logging.getLogger("mrcnn3d")
+
+
+def set_random_seed(seed):
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def compute_anchor_sets(cfg, model, variables, shapes):
+    """Anchor sets for the static per-scale input shapes [(d,h,w), ...]."""
+    acs = anchor_cfgs(cfg)
+    allowed = cfg.train_cfg["rpn"].get("allowed_border", 0)
+    sets = []
+    for (d, h, w), ac in zip(shapes, acs):
+        x = jnp.zeros((1, d, h, w, 3))
+        feats = jax.eval_shape(
+            lambda v: model.apply(variables, v, method=model.extract_feat), x
+        )
+        fs = [f.shape[1:4] for f in feats]
+        sets.append(pl.build_anchor_set(fs, (h, w, 3, d), ac, allowed))
+    return sets
+
+
+def train_shapes(cfg):
+    """Static (d, h, w) train-crop shapes per scale from the config."""
+    ss = cfg.get("static_shapes", {})
+    ch, cw, cd = ss.get("crop_size", (128, 128, 64))
+    up = cfg.get("upscale_factor", 1.5)
+    shapes = [(cd, ch, cw)]
+    n_scales = 1 + sum(
+        1 for k in ("rpn_head_2", "rpn_head_3") if k in cfg.model
+    )
+    for s in range(1, n_scales):
+        f = up**s
+        # upscaled crop padded to size_divisor 32 (depth likewise)
+        d = int(cd * f)
+        h = -(-int(ch * f)) // 32 * 32
+        w = -(-int(cw * f)) // 32 * 32
+        shapes.append((d, h, w))
+    return shapes
+
+
+def train_detector(cfg, dataset, work_dir=None, seed=0, validate=False,
+                   val_dataset=None, max_iters=None, mesh=None,
+                   log_interval=None):
+    """Main entry (reference tools/train.py -> apis/train.py path)."""
+    logger = get_root_logger()
+    rng = set_random_seed(seed)
+    work_dir = work_dir or cfg.get("work_dir", "./work_dirs/default")
+
+    model = build_detector(cfg)
+    shapes = train_shapes(cfg)
+    d, h, w = shapes[0]
+    init_rng, rng = jax.random.split(rng)
+    example = jnp.zeros((1, min(d, 8), min(h, 32), min(w, 32), 3))
+
+    batch_size = cfg.data.get("imgs_per_gpu", 1)
+    if mesh is None and len(jax.devices()) > 1:
+        mesh = make_mesh()
+    if mesh is not None:
+        batch_size = batch_size * mesh.devices.size
+        logger.info("data-parallel mesh over %d devices", mesh.devices.size)
+
+    iters_per_epoch = max(len(dataset) // batch_size, 1)
+    sched = step_lr_schedule(
+        cfg.optimizer["lr"],
+        cfg.lr_config.get("step", []),
+        iters_per_epoch,
+        cfg.lr_config.get("warmup_iters", 10),
+        cfg.lr_config.get("warmup_ratio", 1.0 / 3),
+    )
+    tx = make_optimizer(
+        cfg.optimizer, cfg.optimizer_config.get("grad_clip"), sched
+    )
+    state = create_train_state(model, init_rng, example, tx)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    logger.info("model built: %.1fM params", n_params / 1e6)
+
+    anchor_sets = compute_anchor_sets(cfg, model, variables, shapes)
+    step_fn = make_train_step(model, tx, cfg, anchor_sets, mesh=mesh)
+
+    manager = ckpt.make_manager(work_dir)
+    restored = ckpt.restore(manager, state)
+    if restored is not None:
+        state = restored
+        logger.info("resumed from step %d", int(state.step))
+
+    total_epochs = cfg.get("total_epochs", 1)
+    ckpt_interval = cfg.get("checkpoint_config", {}).get("interval", 5)
+    log_interval = log_interval or cfg.get("log_config", {}).get(
+        "interval", 1
+    )
+
+    it = int(state.step)
+    t_start = time.time()
+    for epoch in range(it // iters_per_epoch, total_epochs):
+        loader = Prefetcher(
+            dataset, batch_size, epoch=epoch, shuffle=True, seed=seed
+        )
+        for batch in loader:
+            batch.pop("img_info", None)
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, step_rng)
+            it += 1
+            if it % log_interval == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                logger.info(
+                    "epoch %d iter %d lr %.2e loss %.4f | %s",
+                    epoch,
+                    it,
+                    float(sched(it)),
+                    m["loss"],
+                    " ".join(
+                        f"{k}:{v:.3f}" for k, v in m.items() if k != "loss"
+                    ),
+                )
+            if max_iters and it >= max_iters:
+                ckpt.save(manager, state, it)
+                manager.wait_until_finished()
+                return state
+        if (epoch + 1) % ckpt_interval == 0:
+            ckpt.save(manager, state, it)
+        if validate and val_dataset is not None and (
+            (epoch + 1) % cfg.get("interval", 5) == 0
+        ):
+            from .test_api import evaluate_dataset
+
+            stats = evaluate_dataset(cfg, model, state, val_dataset)
+            logger.info("eval @ epoch %d: %s", epoch, stats)
+    ckpt.save(manager, state, it)
+    manager.wait_until_finished()
+    logger.info("training done in %.1fs", time.time() - t_start)
+    return state

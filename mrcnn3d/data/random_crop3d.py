@@ -1,0 +1,99 @@
+"""RandomCrop3D training augmentation (numpy).
+
+Semantic port of reference mmdet/datasets/extra_aug.py:146-211:
+  * fixed crop of (H/4, W/4, full depth)
+  * corner rejection-sampled so at least one gt box is fully inside
+  * min-IoU mode sampled from (1, *min_ious, 0) against the patch
+  * surviving boxes must be strictly inside the patch; boxes and masks
+    are shifted/cropped to patch coordinates
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _bbox_overlaps_np(a, b):
+    """numpy twin of the 3-D IoU (reference evaluation/bbox_overlaps.py:51-98)."""
+    xa = np.maximum(a[:, None, 0], b[None, :, 0])
+    ya = np.maximum(a[:, None, 1], b[None, :, 1])
+    xb = np.minimum(a[:, None, 2], b[None, :, 2])
+    yb = np.minimum(a[:, None, 3], b[None, :, 3])
+    za = np.maximum(a[:, None, 4], b[None, :, 4])
+    zb = np.minimum(a[:, None, 5], b[None, :, 5])
+    inter = (
+        np.clip(xb - xa + 1, 0, None)
+        * np.clip(yb - ya + 1, 0, None)
+        * np.clip(zb - za + 1, 0, None)
+    )
+    va = (
+        (a[:, 2] - a[:, 0] + 1)
+        * (a[:, 3] - a[:, 1] + 1)
+        * (a[:, 5] - a[:, 4] + 1)
+    )
+    vb = (
+        (b[:, 2] - b[:, 0] + 1)
+        * (b[:, 3] - b[:, 1] + 1)
+        * (b[:, 5] - b[:, 4] + 1)
+    )
+    return inter / (va[:, None] + vb[None, :] - inter)
+
+
+class RandomCrop3D:
+    def __init__(self, min_ious=(0.1, 0.3, 0.5, 0.7, 0.9), min_crop_size=0.3,
+                 rng=None):
+        self.sample_mode = (1, *min_ious, 0)
+        self.min_crop_size = min_crop_size
+        self.rng = rng or np.random.RandomState()
+
+    def _valid_corner(self, img_dim, patch_dim, lo, hi):
+        # rejection-sample until >= 1 box fully inside along this axis
+        for _ in range(10000):
+            corner = self.rng.randint(max(img_dim - patch_dim, 1))
+            mask = (lo >= corner) & (hi < corner + patch_dim)
+            if mask.any():
+                return corner
+        return 0
+
+    def __call__(self, img_hwd, boxes, labels, masks_hwd=None):
+        """img (H, W, D); boxes (N, 6) [x1,y1,x2,y2,z1,z2]; masks list of
+        (H, W, D).  Returns cropped img, shifted boxes, labels, masks."""
+        h, w, d = img_hwd.shape
+        new_w, new_h, new_d = int(w / 4), int(h / 4), d
+        boxes = np.asarray(boxes, np.float32)
+
+        while True:
+            min_iou = self.rng.choice(self.sample_mode)
+            left = self._valid_corner(w, new_w, boxes[:, 0], boxes[:, 2])
+            top = self._valid_corner(h, new_h, boxes[:, 1], boxes[:, 3])
+            front = 0
+            patch = np.array(
+                [left, top, left + new_w, top + new_h, front, front + new_d],
+                np.float32,
+            )
+            overlaps = _bbox_overlaps_np(patch[None], boxes).reshape(-1)
+            if overlaps.min() < min_iou:
+                continue
+            inside = (
+                (boxes[:, 0] >= patch[0])
+                & (boxes[:, 1] >= patch[1])
+                & (boxes[:, 4] >= patch[4])
+                & (boxes[:, 2] < patch[2])
+                & (boxes[:, 3] < patch[3])
+                & (boxes[:, 5] < patch[5])
+            )
+            if not inside.any():
+                continue
+
+            final_boxes = boxes[inside].copy()
+            final_labels = np.asarray(labels)[inside]
+            x1, y1, x2, y2, z1, z2 = patch.astype(int)
+            img_out = img_hwd[y1:y2, x1:x2, z1:z2]
+            final_boxes -= np.array([x1, y1, x1, y1, z1, z1], np.float32)
+            masks_out = None
+            if masks_hwd is not None:
+                masks_out = [
+                    m[y1:y2, x1:x2, z1:z2]
+                    for m, keep in zip(masks_hwd, inside)
+                    if keep
+                ]
+            return img_out, final_boxes, final_labels, masks_out

@@ -1,0 +1,90 @@
+"""Detection-result json assembly: patch→volume translation + global merge.
+
+Port of reference mmdet/core/evaluation/coco_utils.py:
+  * det2json3D (:334-370): per-class dets → COCO xywhzd entries, with
+    patch→full-volume coordinate translation via img_info pos_top /
+    pos_left / pos_front offsets
+  * apply_nms (:306-332): per-volume greedy merge of overlapping patch
+    predictions with the asymmetric-overlap python NMS at thr 0.1
+  * results2json3DMulti (:480-574): merge of two-dataset (dual
+    resolution) outputs before the global NMS
+"""
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+
+from ..ops.box3d import xyxyzz_to_xywhzd
+from ..ops.nms3d import nms_3d_overlap_numpy
+
+MERGE_NMS_THR = 0.1
+
+
+def det_entries(per_class_dets, img_info, cat_ids=None):
+    """Per-class (n, 7) xyxyzz+score arrays -> COCO dt dicts (global coords).
+
+    img_info may carry pos_top/pos_left/pos_front patch offsets and a
+    full_volume_id; falls back to its own id.
+    """
+    top = img_info.get("pos_top", 0)
+    left = img_info.get("pos_left", 0)
+    front = img_info.get("pos_front", 0)
+    image_id = img_info.get("full_volume_id", img_info["id"])
+    out = []
+    for label, dets in enumerate(per_class_dets):
+        dets = np.asarray(dets)
+        if dets.size == 0:
+            continue
+        boxes = dets[:, :6] + np.array(
+            [left, top, left, top, front, front], np.float32
+        )
+        xywhzd = xyxyzz_to_xywhzd(boxes)
+        cat = cat_ids[label] if cat_ids else label + 1
+        for b, score in zip(xywhzd, dets[:, 6]):
+            out.append(
+                dict(
+                    image_id=int(image_id),
+                    category_id=int(cat),
+                    bbox=[float(v) for v in b],
+                    score=float(score),
+                )
+            )
+    return out
+
+
+def merge_patch_detections(entries, nms_thr=MERGE_NMS_THR):
+    """Global per-volume NMS merge (reference apply_nms :306-332)."""
+    by_img = defaultdict(list)
+    for e in entries:
+        by_img[(e["image_id"], e["category_id"])].append(e)
+    merged = []
+    for (_, _), es in by_img.items():
+        dets = np.array(
+            [
+                [
+                    e["bbox"][0],
+                    e["bbox"][1],
+                    e["bbox"][0] + e["bbox"][2] - 1,
+                    e["bbox"][1] + e["bbox"][3] - 1,
+                    e["bbox"][4],
+                    e["bbox"][4] + e["bbox"][5] - 1,
+                    e["score"],
+                ]
+                for e in es
+            ],
+            np.float32,
+        )
+        keep = nms_3d_overlap_numpy(dets, nms_thr)
+        merged.extend(es[i] for i in keep)
+    return merged
+
+
+def results2json3d(all_results, img_infos, merge=True):
+    """Full pipeline: list of per-image per-class det lists -> dt dicts."""
+    entries = []
+    for per_class, info in zip(all_results, img_infos):
+        entries.extend(det_entries(per_class, info))
+    if merge:
+        entries = merge_patch_detections(entries)
+    return entries

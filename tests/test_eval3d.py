@@ -1,0 +1,140 @@
+"""3-D COCO evaluation protocol tests."""
+import numpy as np
+
+from mrcnn3d.eval.coco_eval3d import CocoEval3D, IOU_THRS, iou3d_xywhzd
+from mrcnn3d.eval.results import (
+    det_entries,
+    merge_patch_detections,
+    results2json3d,
+)
+
+
+def _gt(images, anns):
+    return dict(
+        images=[dict(id=i, file_name=f"{i}.npy") for i in images],
+        annotations=[
+            dict(
+                id=k + 1,
+                image_id=a[0],
+                category_id=1,
+                iscrowd=0,
+                bbox=a[1],
+                area=a[1][2] * a[1][3] * a[1][5],
+            )
+            for k, a in enumerate(anns)
+        ],
+        categories=[dict(id=1, name="microbleed")],
+    )
+
+
+def test_iou3d_xywhzd_identity():
+    b = [[10, 10, 5, 5, 3, 4]]
+    iou = iou3d_xywhzd(b, b)
+    assert iou[0, 0] == 1.0
+
+
+def test_iou3d_matches_corner_iou():
+    # xywhzd [10,10,5,5,3,4] == corners [10,10,14,14,3,6]
+    a = [[10, 10, 5, 5, 3, 4]]
+    b = [[12, 12, 5, 5, 4, 4]]
+    iou = iou3d_xywhzd(a, b)
+    # corners: inter x [12,14](3) y [12,14](3) z [4,6](3) = 27;
+    # union 100 + 100 - 27
+    assert abs(iou[0, 0] - 27 / 173) < 1e-9
+
+
+def test_perfect_detection_scores_one():
+    gt = _gt([1], [(1, [10, 10, 5, 5, 3, 4])])
+    dt = [
+        dict(
+            image_id=1,
+            category_id=1,
+            bbox=[10, 10, 5, 5, 3, 4],
+            score=0.9,
+        )
+    ]
+    e = CocoEval3D(gt, dt)
+    stats = e.summarize()
+    assert stats[0] == 1.0  # mAP over 19 thresholds
+    assert stats[25] == 1.0  # AR@10000
+    assert len(stats) == 29
+
+
+def test_missed_detection_scores_zero():
+    gt = _gt([1], [(1, [10, 10, 5, 5, 3, 4])])
+    e = CocoEval3D(gt, [])
+    stats = e.summarize()
+    assert stats[0] == 0.0
+
+
+def test_partial_overlap_threshold_profile():
+    gt = _gt([1], [(1, [0, 0, 10, 10, 0, 10])])
+    # shifted det with IoU ~ (5*10*10)/(1000+1000-500) = 1/3
+    dt = [
+        dict(image_id=1, category_id=1, bbox=[5, 0, 10, 10, 0, 10], score=0.9)
+    ]
+    e = CocoEval3D(gt, dt)
+    stats = e.summarize()
+    iou = iou3d_xywhzd([dt[0]["bbox"]], [gt["annotations"][0]["bbox"]])[0, 0]
+    # AP = 1 at thresholds below iou, 0 above
+    for i, thr in enumerate(IOU_THRS):
+        expected = 1.0 if iou >= thr else 0.0
+        assert stats[1 + i] == expected, thr
+    assert abs(stats[0] - np.mean(stats[1:20])) < 1e-9
+
+
+def test_false_positive_halves_precision():
+    gt = _gt([1], [(1, [10, 10, 5, 5, 3, 4])])
+    dt = [
+        dict(image_id=1, category_id=1, bbox=[10, 10, 5, 5, 3, 4], score=0.8),
+        dict(image_id=1, category_id=1, bbox=[50, 50, 5, 5, 10, 4], score=0.9),
+    ]
+    e = CocoEval3D(gt, dt)
+    stats = e.summarize()
+    # FP ranked first: precision at recall 1.0 is 0.5
+    assert 0.4 < stats[10] < 0.6  # AP@0.5
+
+
+def test_best_overlaps_bookkeeping():
+    gt = _gt([1], [(1, [10, 10, 5, 5, 3, 4])])
+    dt = [
+        dict(image_id=1, category_id=1, bbox=[10, 10, 5, 5, 3, 4], score=0.9)
+    ]
+    e = CocoEval3D(gt, dt)
+    e.summarize()
+    assert e.best_overlaps["1_1_0"]["iou"] == 1.0
+
+
+class TestResultsJson:
+    def test_patch_offset_translation(self):
+        dets = [np.array([[1, 2, 5, 6, 0, 3, 0.9]], np.float32)]
+        info = dict(id=7, pos_left=100, pos_top=200, pos_front=10)
+        entries = det_entries(dets, info)
+        assert len(entries) == 1
+        b = entries[0]["bbox"]
+        assert b == [101.0, 202.0, 5.0, 5.0, 10.0, 4.0]
+        assert entries[0]["image_id"] == 7
+
+    def test_merge_dedups_overlapping_patches(self):
+        # same physical box predicted from two overlapping patches
+        e1 = dict(image_id=1, category_id=1, bbox=[10, 10, 5, 5, 3, 4],
+                  score=0.9)
+        e2 = dict(image_id=1, category_id=1, bbox=[10, 10, 5, 5, 3, 4],
+                  score=0.8)
+        e3 = dict(image_id=1, category_id=1, bbox=[90, 90, 5, 5, 3, 4],
+                  score=0.7)
+        merged = merge_patch_detections([e1, e2, e3])
+        scores = sorted(e["score"] for e in merged)
+        assert scores == [0.7, 0.9]
+
+    def test_end_to_end_eval_with_merge(self):
+        gt = _gt([1], [(1, [10, 10, 5, 5, 3, 4])])
+        results = [
+            [np.array([[10, 10, 14, 14, 3, 6, 0.9]], np.float32)],
+            [np.array([[10, 10, 14, 14, 3, 6, 0.85]], np.float32)],
+        ]
+        infos = [dict(id=1), dict(id=1)]
+        entries = results2json3d(results, infos)
+        assert len(entries) == 1  # duplicate suppressed by merge NMS
+        e = CocoEval3D(gt, entries)
+        assert e.summarize()[0] == 1.0

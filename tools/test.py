@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Offline test/eval CLI (reference tools/test.py flags).
+
+  python tools/test.py configs/mask_rcnn_3d_2scales.py ckpt_dir \
+      --out results.pkl --eval bbox
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Test a 3D detector")
+    p.add_argument("config")
+    p.add_argument("checkpoint", help="orbax checkpoint dir (work_dir)")
+    p.add_argument("--out", help="output result pickle")
+    p.add_argument("--eval", nargs="+", default=["bbox"],
+                   choices=["bbox", "segm"])
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--gpu_collect", action="store_true",
+                   help="accepted for reference-CLI parity")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax.numpy as jnp
+
+    from mrcnn3d.apis.test_api import run_inference
+    from mrcnn3d.data.coco3d import Coco3D2ScalesDataset, Coco3DDataset
+    from mrcnn3d.detectors.build import build_detector
+    from mrcnn3d.eval.coco_eval3d import CocoEval3D
+    from mrcnn3d.eval.results import results2json3d
+    from mrcnn3d.train import checkpoint as ckpt
+    from mrcnn3d.train.optim import make_optimizer, step_lr_schedule
+    from mrcnn3d.train.step import create_train_state
+    from mrcnn3d.utils.config import Config
+
+    cfg = Config.fromfile(args.config)
+    model = build_detector(cfg)
+
+    te = cfg.data["test"]
+    if args.synthetic:
+        import tempfile
+
+        from mrcnn3d.data.synthetic import make_synthetic_coco3d
+
+        root = os.path.join(tempfile.gettempdir(), "mrcnn3d_synth_test")
+        ann_file, img_dir = make_synthetic_coco3d(
+            root, num_volumes=4, hw=128, depth=32, seed=7
+        )
+    else:
+        ann_file, img_dir = te["ann_file"], te["img_prefix"]
+
+    two_scale = "rpn_head_2" in cfg.model
+    ds_cls = Coco3D2ScalesDataset if two_scale else Coco3DDataset
+    dataset = ds_cls(
+        ann_file,
+        img_dir,
+        img_norm_cfg=te["img_norm_cfg"],
+        size_divisor=te.get("size_divisor", 32),
+        with_mask=False,
+        test_mode=True,
+    )
+
+    # init + restore params
+    import jax
+
+    sched = step_lr_schedule(1e-3, [], 100)
+    tx = make_optimizer(cfg.optimizer, None, sched)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, 8, 32, 32, 3)), tx
+    )
+    manager = ckpt.make_manager(args.checkpoint)
+    restored = ckpt.restore(manager, state)
+    if restored is not None:
+        state = restored
+        print(f"loaded checkpoint at step {int(state.step)}")
+    else:
+        print("WARNING: no checkpoint found, using random init")
+
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    results, infos = run_inference(cfg, model, variables, dataset)
+
+    if args.out:
+        with open(args.out, "wb") as f:
+            pickle.dump(results, f)
+
+    if "bbox" in args.eval:
+        entries = results2json3d(results, infos)
+        evaluator = CocoEval3D(dataset.coco, entries)
+        stats = evaluator.named_stats()
+        for k, v in stats.items():
+            print(f"{k}: {v:.4f}")
+
+
+if __name__ == "__main__":
+    main()
