@@ -1,0 +1,113 @@
+"""Mask post-processing: paste predicted voxel masks into full volumes.
+
+Port of reference FCNMaskHead3D.get_seg_masks
+(mmdet/models/mask_heads/fcn_mask_head_3d.py:126-191): per detection,
+sigmoid mask logits for the predicted class are trilinearly resized from
+(mask_d, mask_h, mask_w) to the integer box extents, thresholded at
+mask_thr_binary (0.25), and pasted into a zeroed (D, H, W) volume.
+Host-side numpy (these volumes feed the json writers / voxel eval).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _trilinear_resize(vol, out_shape):
+    try:
+        from skimage.transform import resize
+
+        return resize(
+            vol, out_shape, order=1, preserve_range=True, anti_aliasing=False
+        )
+    except ImportError:  # pragma: no cover
+        idx = [
+            np.clip(
+                np.round(
+                    (np.arange(o) + 0.5) * i / o - 0.5
+                ).astype(int),
+                0,
+                i - 1,
+            )
+            for o, i in zip(out_shape, vol.shape)
+        ]
+        return vol[np.ix_(*idx)]
+
+
+def get_seg_masks_3d(
+    mask_logits,
+    det_bboxes,
+    det_labels,
+    det_valid,
+    num_classes,
+    ori_shape,
+    mask_thr_binary=0.25,
+    scale_factor=1.0,
+):
+    """mask_logits (N, C, Dm, Hm, Wm); det boxes (N, >=6) in final frame.
+
+    ori_shape: (H, W, D) of the output volume.
+    Returns per-class lists of (D, H, W) uint8 volumes (classes 1..C-1).
+    """
+    img_h, img_w, img_d = ori_shape[0], ori_shape[1], ori_shape[2]
+    probs = _sigmoid(np.asarray(mask_logits, np.float32))
+    boxes = np.asarray(det_bboxes)[:, :6]
+    labels = np.asarray(det_labels) + 1
+    valid = np.asarray(det_valid).astype(bool)
+
+    cls_segms = [[] for _ in range(num_classes - 1)]
+    for i in range(boxes.shape[0]):
+        if not valid[i]:
+            continue
+        bbox = (boxes[i] / scale_factor).astype(np.int32)
+        label = int(labels[i])
+        w = max(bbox[2] - bbox[0] + 1, 1)
+        h = max(bbox[3] - bbox[1] + 1, 1)
+        d = max(bbox[5] - bbox[4] + 1, 1)
+        # clamp paste region to volume extents
+        x0 = max(bbox[0], 0)
+        y0 = max(bbox[1], 0)
+        z0 = max(bbox[4], 0)
+        mask = probs[i, label]
+        im_mask = np.zeros((img_d, img_h, img_w), np.uint8)
+        bbox_mask = (
+            _trilinear_resize(mask, (d, h, w)) > mask_thr_binary
+        ).astype(np.uint8)
+        z1 = min(z0 + d, img_d)
+        y1 = min(y0 + h, img_h)
+        x1 = min(x0 + w, img_w)
+        im_mask[z0:z1, y0:y1, x0:x1] = bbox_mask[
+            : z1 - z0, : y1 - y0, : x1 - x0
+        ]
+        cls_segms[label - 1].append(im_mask)
+    return cls_segms
+
+
+def segm_entries(cls_segms, per_class_dets, img_info, cat_ids=None):
+    """Build segm dt dicts (with full-volume masks) for voxel evaluation.
+
+    Mirrors reference segm2json3D (coco_utils.py:416-477) but keeps masks
+    as arrays (the evaluator consumes volumes directly; RLE is a wire
+    format we don't need in-process).
+    """
+    image_id = img_info.get("full_volume_id", img_info["id"])
+    out = []
+    for label, (segms, dets) in enumerate(zip(cls_segms, per_class_dets)):
+        dets = np.asarray(dets)
+        cat = cat_ids[label] if cat_ids else label + 1
+        for mask, det in zip(segms, dets):
+            from ..ops.box3d import xyxyzz_to_xywhzd
+
+            out.append(
+                dict(
+                    image_id=int(image_id),
+                    category_id=int(cat),
+                    bbox=[float(v) for v in xyxyzz_to_xywhzd(det[:6])],
+                    score=float(det[6]),
+                    segmentation=mask,
+                )
+            )
+    return out
