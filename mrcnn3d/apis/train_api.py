@@ -70,7 +70,7 @@ def train_shapes(cfg):
 
 
 def train_detector(cfg, dataset, work_dir=None, seed=0, validate=False,
-                   val_dataset=None, max_iters=None, mesh=None,
+                   val_dataset=None, max_iters=None, mesh="auto",
                    log_interval=None):
     """Main entry (reference tools/train.py -> apis/train.py path)."""
     logger = get_root_logger()
@@ -84,8 +84,8 @@ def train_detector(cfg, dataset, work_dir=None, seed=0, validate=False,
     example = jnp.zeros((1, min(d, 8), min(h, 32), min(w, 32), 3))
 
     batch_size = cfg.data.get("imgs_per_gpu", 1)
-    if mesh is None and len(jax.devices()) > 1:
-        mesh = make_mesh()
+    if mesh == "auto":
+        mesh = make_mesh() if len(jax.devices()) > 1 else None
     if mesh is not None:
         batch_size = batch_size * mesh.devices.size
         logger.info("data-parallel mesh over %d devices", mesh.devices.size)

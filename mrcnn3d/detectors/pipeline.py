@@ -322,6 +322,11 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
             )
         )
 
+        if not model.with_bbox:
+            # RPN-only detector (reference rpn_3d.py) — no R-CNN stage
+            feats_s.append(feats)
+            continue
+
         pboxes, pscores, pvalid = gen_proposals(
             cls_outs,
             reg_outs,
@@ -354,6 +359,10 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
         feats_s.append(feats)
         props_s.append((pboxes, pscores, pvalid))
         samples_s.append(samples)
+
+    if not model.with_bbox:
+        total = sum(v for k, v in losses.items() if "loss" in k)
+        return total, losses
 
     # ---- shared bbox head over all scales (reference :239-257) ----
     roi_cfg = cfg.model["bbox_roi_extractor"]
