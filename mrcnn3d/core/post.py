@@ -67,11 +67,16 @@ def multiclass_nms_3d(
     det_boxes = jnp.where(det_valid[:, None], boxes[top_idx], 0.0)
     det_scores = jnp.where(det_valid, top_scores, 0.0)
     det_labels = jnp.where(det_valid, labels[top_idx], 0)
+    # source row of each kept det in the input arrays (for carrying
+    # auxiliary per-proposal data, e.g. parcellation scores — reference
+    # multiclass_nms_3d_parcel keeps them aligned through NMS)
+    src_idx = jnp.where(det_valid, top_idx % n, 0)
     if k < max_num:
         pad = max_num - k
         det_boxes = jnp.pad(det_boxes, ((0, pad), (0, 0)))
         det_scores = jnp.pad(det_scores, ((0, pad),))
         det_labels = jnp.pad(det_labels, ((0, pad),))
         det_valid = jnp.pad(det_valid, ((0, pad),))
+        src_idx = jnp.pad(src_idx, ((0, pad),))
     dets = jnp.concatenate([det_boxes, det_scores[:, None]], axis=-1)
-    return dets, det_labels, det_valid
+    return dets, det_labels, det_valid, src_idx

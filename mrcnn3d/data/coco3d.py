@@ -250,3 +250,27 @@ class Coco3D2ScalesDataset(Coco3DDataset):
         sample["imgs_2"] = img2
         sample["ori_shape_2"] = ori2
         return sample
+
+
+class Coco3DParcelDataset(Coco3DDataset):
+    """COCO-3D with per-instance `brain_region` labels (reference
+    coco_3d_parcel.py:63-107): each annotation carries a 15-way brain
+    parcellation class consumed by the parcellation head."""
+
+    def _ann_arrays(self, img_id):
+        anns, boxes, labels = super()._ann_arrays(img_id)
+        bregions = np.array(
+            [a.get("brain_region", 0) for a in anns], np.int32
+        )
+        # ride along through RandomCrop3D's label filtering as a 2-column
+        # label array, split again in prepare_train
+        stacked = np.stack([labels, bregions], axis=1)
+        return anns, boxes, stacked
+
+    def __getitem__(self, idx):
+        sample = super().__getitem__(idx)
+        if not self.test_mode and sample["gt_labels"].ndim == 2:
+            stacked = sample["gt_labels"]
+            sample["gt_labels"] = stacked[:, 0]
+            sample["gt_bregions"] = stacked[:, 1]
+        return sample

@@ -44,8 +44,9 @@ def pad_to_divisor(vol_dhwc, divisor=32, depth_divisor=None):
 def pad_gt(boxes, labels, max_gt, masks=None, mask_shape=None):
     """Pad per-image ground truth to (max_gt, ...) with validity mask."""
     n = min(len(boxes), max_gt)
+    labels = np.asarray(labels)
     out_boxes = np.zeros((max_gt, 6), np.float32)
-    out_labels = np.zeros((max_gt,), np.int32)
+    out_labels = np.zeros((max_gt,) + labels.shape[1:], np.int32)
     out_valid = np.zeros((max_gt,), bool)
     out_boxes[:n] = np.asarray(boxes, np.float32)[:n]
     out_labels[:n] = np.asarray(labels, np.int32)[:n]

@@ -15,6 +15,7 @@ from ..models.detector import Detector3D
 #                with_refinement)
 _TYPES = {
     "RPN3D": dict(num_scales=1, with_bbox=False, with_mask=False),
+    "MaskRCNN3DParcel": dict(num_scales=1),
     "FasterRCNN3D": dict(num_scales=1, with_mask=False),
     "MaskRCNN3D": dict(num_scales=1),
     "MaskRCNN3D2Scales": dict(num_scales=2, with_refinement=True),
@@ -52,8 +53,12 @@ def build_detector(cfg, dtype=jnp.float32):
         len(rpn_head.get("anchor_scales", [1]))
         * len(rpn_head.get("anchor_ratios", [1.0])),
     )
+    num_parcellations = bbox_head.get("num_parcellations", 0)
+    if kind == "MaskRCNN3DParcel" and not num_parcellations:
+        num_parcellations = 15
     return Detector3D(
         depth=m["backbone"]["depth"],
+        num_parcellations=num_parcellations,
         fpn_channels=m["neck"]["out_channels"],
         num_outs=m["neck"]["num_outs"],
         num_classes=bbox_head.get("num_classes", 2),

@@ -366,7 +366,7 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
 
     # ---- shared bbox head over all scales (reference :239-257) ----
     roi_cfg = cfg.model["bbox_roi_extractor"]
-    cls_all, pred_all = [], []
+    cls_all, pred_all, parcel_all = [], [], []
     roi_feats_s = []
     for s in scales:
         rois, rvalid = flat_rois(
@@ -383,9 +383,11 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
             valid=rvalid,
         )
         roi_feats_s.append(roi_feats)
-        c, p = apply(roi_feats, s, method=model.bbox_forward)
-        cls_all.append(c)
-        pred_all.append(p)
+        out = apply(roi_feats, s, method=model.bbox_forward)
+        cls_all.append(out[0])
+        pred_all.append(out[1])
+        if model.num_parcellations > 0:
+            parcel_all.append(out[2])
 
     if model.share_heads:
         cls_cat = jnp.concatenate(cls_all, axis=0)
@@ -414,6 +416,35 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
                     suffix=suffixes[s],
                 )
             )
+
+    # ---- parcellation branch (reference bbox_head_3d_parcel.py:123-126,
+    # targets bbox_target.py:152-181: pos -> gt brain_region @ pos_weight,
+    # neg -> class 0 @ weight 1) ----
+    if model.num_parcellations > 0 and "gt_bregions" in batch:
+        parcel_cat = jnp.concatenate(parcel_all, axis=0)
+        pw = float(rcnn_cfg.get("pos_weight", -1))
+        pw = 1.0 if pw <= 0 else pw
+        breg_list, w_list = [], []
+        for s in scales:
+            sfx = suffixes[s]
+            gt_breg = batch.get("gt_bregions" + sfx, batch["gt_bregions"])
+            smp = samples_s[s]
+            breg = jnp.take_along_axis(gt_breg, smp.gt_idx, axis=1)
+            breg = jnp.where(smp.is_pos, breg, 0)
+            w = jnp.where(
+                smp.roi_valid, jnp.where(smp.is_pos, pw, 1.0), 0.0
+            )
+            breg_list.append(breg.reshape(-1))
+            w_list.append(w.reshape(-1))
+        bregions = jnp.concatenate(breg_list)
+        bw = jnp.concatenate(w_list)
+        avg = jnp.maximum(jnp.sum(bw > 0), 1.0)
+        losses["loss_parcellation_cls"] = weighted_cross_entropy(
+            parcel_cat, bregions, bw, avg
+        )
+        losses["acc_parcellation"] = accuracy(
+            parcel_cat, bregions, bw > 0
+        )
 
     # ---- refinement head (reference :259-298, kept in-graph) ----
     if model.with_refinement:
@@ -589,7 +620,7 @@ def simple_test(
     upscale = cfg.get("upscale_factor", 1.5)
     suffixes = ["", "_2", "_3"][: model.num_scales]
 
-    feats_s, boxes_s, scores_s, valid_s = [], [], [], []
+    feats_s, boxes_s, scores_s, valid_s, parcel_s = [], [], [], [], []
     for s in range(model.num_scales):
         sfx = suffixes[s]
         imgs = batch["imgs" + sfx]
@@ -604,7 +635,14 @@ def simple_test(
         )
         rois, rvalid = flat_rois(pboxes, pvalid)
         roi_feats = _roi_align_cfg(feats, rois, roi_cfg, rvalid)
-        cls_score, bbox_pred = apply(roi_feats, s, method=model.bbox_forward)
+        head_out = apply(roi_feats, s, method=model.bbox_forward)
+        cls_score, bbox_pred = head_out[0], head_out[1]
+        if model.num_parcellations > 0:
+            parcel_s.append(
+                jax.nn.softmax(head_out[2], axis=-1).reshape(
+                    b, -1, model.num_parcellations
+                )
+            )
         scores = jax.nn.softmax(cls_score, axis=-1)
         boxes = delta2bbox3d(
             rois[:, 1:],
@@ -656,10 +694,17 @@ def simple_test(
             rcnn_test["max_per_img"],
         )
 
-    dets, labels, dvalid = jax.vmap(nms_one)(
+    dets, labels, dvalid, src_idx = jax.vmap(nms_one)(
         boxes_all, scores_all, valid_all
     )
     out = dict(dets=dets, labels=labels, valid=dvalid)
+    if model.num_parcellations > 0 and parcel_s:
+        # carry parcellation scores through NMS by source row (reference
+        # multiclass_nms_3d_parcel, bbox_nms.py:108-159)
+        parcel_all = jnp.concatenate(parcel_s, axis=1)
+        out["parcellations"] = jax.vmap(
+            lambda p, i: p[i]
+        )(parcel_all, src_idx)
 
     if model.with_mask and not test_cfg.get("return_bbox_only", False):
         # mask head on the 1.0x features for all surviving detections

@@ -50,6 +50,7 @@ class Detector3D(nn.Module):
     with_mask: bool = True
     with_refinement: bool = False
     with_refinement_mask: bool = False
+    num_parcellations: int = 0  # >0 adds the brain-region branch
     fc_out_channels: int = 1024
     mask_convs: int = 4
     remat: bool = False
@@ -79,6 +80,7 @@ class Detector3D(nn.Module):
                 SharedFCBBoxHead3D(
                     fc_out_channels=self.fc_out_channels,
                     num_classes=self.num_classes,
+                    num_parcellations=self.num_parcellations,
                     dtype=self.dtype,
                     name=f"bbox_head_{s}",
                 )

@@ -47,11 +47,15 @@ class RPNHead3D(nn.Module):
 
 
 class SharedFCBBoxHead3D(nn.Module):
+    """Shared-FC bbox head; `num_parcellations > 0` adds the 15-way
+    brain-region branch (reference bbox_head_3d_parcel.py:52,72-73)."""
+
     num_fcs: int = 2
     fc_out_channels: int = 1024
     num_classes: int = 2
     reg_class_agnostic: bool = False
     with_cls: bool = True
+    num_parcellations: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -70,6 +74,13 @@ class SharedFCBBoxHead3D(nn.Module):
         )
         out_reg = 6 if self.reg_class_agnostic else 6 * self.num_classes
         bbox_pred = nn.Dense(out_reg, dtype=self.dtype, name="fc_reg")(x)
+        if self.num_parcellations > 0:
+            parcel = nn.Dense(
+                self.num_parcellations,
+                dtype=self.dtype,
+                name="fc_parcellations",
+            )(x)
+            return cls_score, bbox_pred, parcel
         return cls_score, bbox_pred
 
 
