@@ -620,6 +620,27 @@ def simple_test(
     upscale = cfg.get("upscale_factor", 1.5)
     suffixes = ["", "_2", "_3"][: model.num_scales]
 
+    if not model.with_bbox:
+        # RPN-only inference: proposals ARE the detections (reference
+        # rpn_3d.py simple_test)
+        imgs = batch["imgs"]
+        img_shape = (imgs.shape[2], imgs.shape[3], 3, imgs.shape[1])
+        feats = apply(imgs, method=model.extract_feat)
+        rpn_outs = apply(feats, 0, method=model.rpn)
+        pboxes, pscores, pvalid = gen_proposals(
+            [o[0] for o in rpn_outs],
+            [o[1] for o in rpn_outs],
+            anchor_sets[0],
+            img_shape,
+            test_cfg["rpn"],
+        )
+        dets = jnp.concatenate([pboxes, pscores[..., None]], axis=-1)
+        return dict(
+            dets=dets,
+            labels=jnp.zeros(pboxes.shape[:2], jnp.int32),
+            valid=pvalid,
+        )
+
     feats_s, boxes_s, scores_s, valid_s, parcel_s = [], [], [], [], []
     for s in range(model.num_scales):
         sfx = suffixes[s]

@@ -1,0 +1,115 @@
+"""Detector family variants: train losses + inference smoke.
+
+Covers the reference's variant classes as config permutations
+(SURVEY.md section 2.4): separate-heads 2-scale with refinement, and the
+RPN-only proposal pretrainer.  (The shared-head flagship is exercised by
+test_integration.py and the smoke suite.)
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mrcnn3d.detectors import pipeline as pl
+from mrcnn3d.detectors.build import anchor_cfgs, build_detector
+from mrcnn3d.utils.config import Config
+
+
+def _tiny_cfg(type_name):
+    cfg = Config.fromfile("configs/mask_rcnn_3d_2scales.py")
+    cfg.model["type"] = type_name
+    cfg.model["backbone"]["depth"] = 18
+    if type_name in ("RPN3D", "FasterRCNN3D", "MaskRCNN3D"):
+        cfg.model.pop("rpn_head_2", None)
+    if type_name == "MaskRCNN3D2ScalesHeadsRefinementHead":
+        cfg.model.pop("mask_head", None)
+        cfg.model.pop("refinement_mask_head", None)
+    if type_name in ("RPN3D", "FasterRCNN3D"):
+        cfg.model.pop("mask_head", None)
+        cfg.model.pop("refinement_head", None)
+        cfg.model.pop("refinement_mask_head", None)
+    for k in ("nms_pre", "nms_post", "max_num"):
+        cfg.train_cfg["rpn_proposal"][k] = 16
+        cfg.test_cfg["rpn"][k] = 16
+    cfg.train_cfg["rcnn"]["sampler"]["num"] = 8
+    cfg.test_cfg["rcnn"]["max_per_img"] = 8
+    return cfg
+
+
+def _setup(cfg):
+    model = build_detector(cfg)
+    shapes = [(8, 32, 32), (12, 48, 48), (18, 64, 64)][: model.num_scales]
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1,) + shapes[0] + (3,))
+    )
+    sets = []
+    for (d, h, w), ac in zip(shapes, anchor_cfgs(cfg)):
+        feats = jax.eval_shape(
+            lambda v: model.apply(variables, v, method=model.extract_feat),
+            jnp.zeros((1, d, h, w, 3)),
+        )
+        sets.append(
+            pl.build_anchor_set(
+                [f.shape[1:4] for f in feats], (h, w, 3, d), ac
+            )
+        )
+    batch = {}
+    sfx = ["", "_2", "_3"]
+    for s, (d, h, w) in enumerate(shapes):
+        gtb = np.zeros((1, 3, 6), np.float32)
+        gtb[:, 0] = [4, 4, 14, 14, 1, 5]
+        gtv = np.zeros((1, 3), bool)
+        gtv[:, 0] = True
+        gtl = np.zeros((1, 3), np.int32)
+        gtl[:, 0] = 1
+        f = 1.5**s
+        batch["imgs" + sfx[s]] = jnp.zeros((1, d, h, w, 3))
+        batch["gt_boxes" + sfx[s]] = jnp.asarray(gtb * f)
+        batch["gt_valid" + sfx[s]] = jnp.asarray(gtv)
+        batch["gt_labels" + sfx[s]] = jnp.asarray(gtl)
+        if s == 0:
+            gtm = np.zeros((1, 3, d, h, w), np.uint8)
+            gtm[:, 0, 1:6, 4:15, 4:15] = 1
+            batch["gt_masks"] = jnp.asarray(gtm)
+    return model, variables, sets, batch
+
+
+def test_two_scales_heads_refinement():
+    cfg = _tiny_cfg("MaskRCNN3D2ScalesHeadsRefinementHead")
+    model, variables, sets, batch = _setup(cfg)
+    assert not model.share_heads and model.with_refinement
+    total, losses = pl.forward_train(
+        model, variables, batch, jax.random.PRNGKey(1), cfg, sets
+    )
+    keys = {k for k in losses if "loss" in k}
+    # per-scale suffixed keys + refinement, no mask (force-disabled,
+    # reference two_stage_3d_2scales_heads_refinement_head.py:73)
+    assert {
+        "loss_rpn_cls",
+        "loss_rpn_cls_2",
+        "loss_cls",
+        "loss_cls_2",
+        "loss_refinement_reg",
+    } <= keys
+    assert "loss_mask" not in keys
+    assert np.isfinite(float(total))
+    out = pl.simple_test(model, variables, batch, cfg, sets)
+    assert out["dets"].shape == (1, 8, 7)
+
+
+def test_rpn_only():
+    cfg = _tiny_cfg("RPN3D")
+    model, variables, sets, batch = _setup(cfg)
+    total, losses = pl.forward_train(
+        model, variables, batch, jax.random.PRNGKey(1), cfg, sets
+    )
+    assert set(k for k in losses if "loss" in k) == {
+        "loss_rpn_cls",
+        "loss_rpn_reg",
+    }
+    out = pl.simple_test(model, variables, batch, cfg, sets)
+    assert out["dets"].shape == (1, 16, 7)
+    # proposal scores are sigmoid probabilities
+    v = np.asarray(out["valid"])
+    s = np.asarray(out["dets"])[..., 6]
+    assert ((s[v] >= 0) & (s[v] <= 1)).all()
