@@ -17,24 +17,11 @@ def _sigmoid(x):
 
 
 def _trilinear_resize(vol, out_shape):
-    try:
-        from skimage.transform import resize
+    from .. import native
 
-        return resize(
-            vol, out_shape, order=1, preserve_range=True, anti_aliasing=False
-        )
-    except ImportError:  # pragma: no cover
-        idx = [
-            np.clip(
-                np.round(
-                    (np.arange(o) + 0.5) * i / o - 0.5
-                ).astype(int),
-                0,
-                i - 1,
-            )
-            for o, i in zip(out_shape, vol.shape)
-        ]
-        return vol[np.ix_(*idx)]
+    return native.resize_trilinear(
+        np.ascontiguousarray(vol, np.float32)[..., None], *out_shape
+    )[..., 0]
 
 
 def get_seg_masks_3d(

@@ -16,7 +16,7 @@ from collections import defaultdict
 import numpy as np
 
 from ..ops.box3d import xyxyzz_to_xywhzd
-from ..ops.nms3d import nms_3d_overlap_numpy
+from .. import native
 
 MERGE_NMS_THR = 0.1
 
@@ -75,7 +75,7 @@ def merge_patch_detections(entries, nms_thr=MERGE_NMS_THR):
             ],
             np.float32,
         )
-        keep = nms_3d_overlap_numpy(dets, nms_thr)
+        keep = native.nms3d_overlap(dets, nms_thr)
         merged.extend(es[i] for i in keep)
     return merged
 

@@ -29,7 +29,16 @@ from .box3d import bbox_overlaps_3d
 
 
 def nms_3d_mask(boxes, scores, valid, iou_thr):
-    """Greedy hard NMS over fixed-size box array.
+    """Greedy hard NMS over a fixed-size box array — exact, TPU-parallel.
+
+    Greedy NMS is the unique fixed point of the prefix recurrence
+      kept[i] = valid[i] and not exists j < i : kept[j] and iou[j,i] > thr.
+    Instead of the GPU bitmask + host scan (reference nms_kernel.cu:81-129,
+    :238-249) or a K-step sequential loop, we Jacobi-iterate the
+    recurrence: each sweep is one K x K masked matrix-vector product on
+    the VPU, and sweep t fixes all boxes whose suppression-chain depth is
+    <= t, so the while_loop converges to the exact greedy solution in
+    chain-depth iterations (single digits in practice, bounded by K).
 
     Args:
       boxes: (K, 6) [x1,y1,x2,y2,z1,z2].
@@ -49,14 +58,30 @@ def nms_3d_mask(boxes, scores, valid, iou_thr):
 
     iou = bbox_overlaps_3d(sboxes, sboxes)
     idx = jnp.arange(k)
+    # suppress[j, i]: earlier box j can suppress later box i
+    suppress = (iou > iou_thr) & (idx[:, None] < idx[None, :])
+    suppress_f = suppress.astype(jnp.float32)
 
-    def body(i, alive):
-        is_kept = alive[i]
-        suppress = is_kept & (iou[i] > iou_thr) & (idx > i)
-        return alive & ~suppress
+    def cond(state):
+        alive, prev, it = state
+        return jnp.any(alive != prev) & (it < k)
 
-    alive = jax.lax.fori_loop(0, k, body, svalid)
-    # scatter alive flags back to input order
+    def body(state):
+        alive, _, it = state
+        hit = (
+            jnp.einsum(
+                "ji,j->i", suppress_f, alive.astype(jnp.float32)
+            )
+            > 0.0
+        )
+        return svalid & ~hit, alive, it + 1
+
+    first = svalid & ~(
+        jnp.einsum("ji,j->i", suppress_f, svalid.astype(jnp.float32)) > 0.0
+    )
+    alive, _, _ = jax.lax.while_loop(
+        cond, body, (first, svalid, jnp.asarray(1))
+    )
     keep = jnp.zeros((k,), bool).at[order].set(alive)
     return keep
 

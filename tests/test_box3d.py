@@ -84,20 +84,23 @@ class TestDeltaCodec:
             ],
             axis=-1,
         ).astype(np.float32)
-        gx1 = rng.uniform(0, 100, (50,))
-        gy1 = rng.uniform(0, 100, (50,))
-        gz1 = rng.uniform(0, 30, (50,))
-        gts = np.stack(
-            [
-                gx1,
-                gy1,
-                gx1 + rng.uniform(2, 60, (50,)),
-                gy1 + rng.uniform(2, 60, (50,)),
-                gz1,
-                gz1 + rng.uniform(1, 20, (50,)),
-            ],
-            axis=-1,
-        ).astype(np.float32)
+        # gts as moderate perturbations of proposals: deltas stay inside
+        # the codec's clip range (reference clamps dw/dh/dz/dd to
+        # +-|log(16/1000)|, transforms.py:122-131, so extreme pairs are
+        # intentionally non-invertible)
+        jitter = rng.uniform(-5, 5, (50, 6))
+        scale = rng.uniform(0.5, 2.0, (50, 2))
+        gts = props + jitter.astype(np.float32)
+        gts[:, 2] = gts[:, 0] + np.clip(
+            (props[:, 2] - props[:, 0]) * scale[:, 0], 2, None
+        )
+        gts[:, 3] = gts[:, 1] + np.clip(
+            (props[:, 3] - props[:, 1]) * scale[:, 1], 2, None
+        )
+        gts[:, 5] = gts[:, 4] + np.clip(
+            (props[:, 5] - props[:, 4]) * scale[:, 0], 1, None
+        )
+        gts = gts.astype(np.float32)
 
         deltas = bbox2delta3d(jnp.asarray(props), jnp.asarray(gts))
         decoded = delta2bbox3d(jnp.asarray(props), deltas)
