@@ -1,0 +1,108 @@
+"""Halo-aware volume-tiling inference driver.
+
+The reference scales to whole volumes by evaluating pre-cut patch
+datasets whose img_infos carry pos_top/pos_left/pos_front offsets, then
+translating detections to volume coordinates and merging with a global
+asymmetric-overlap NMS at 0.1 (SURVEY.md section 5 long-context analysis;
+coco_utils.py:306-370).  This driver does the tiling on the fly: fixed
+patch geometry (one XLA compile), overlapping halos so boundary objects
+appear fully inside some patch, per-patch inference, coordinate
+translation, and the same merge NMS.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..detectors import pipeline as pl
+from ..eval.results import det_entries, merge_patch_detections
+from .test_api import InferenceRunner
+
+
+def tile_starts(extent, patch, stride):
+    """Start offsets covering [0, extent) with overlap; last tile flush."""
+    if extent <= patch:
+        return [0]
+    starts = list(range(0, extent - patch, stride))
+    starts.append(extent - patch)
+    return starts
+
+
+def tiled_inference(
+    cfg,
+    model,
+    variables,
+    volume_sample,
+    patch_hw=256,
+    patch_d=None,
+    overlap=0.25,
+    merge_thr=0.1,
+):
+    """Run patch-tiled inference over one (possibly huge) volume.
+
+    volume_sample: dict from dataset.prepare_test (imgs (D, H, W, 3)
+    normalised [+ imgs_2]).  Returns per-class det arrays in volume
+    coordinates after the global merge NMS.
+    """
+    runner = InferenceRunner(cfg, model, variables)
+    img = np.asarray(volume_sample["imgs"])
+    d, h, w, _ = img.shape
+    patch_d = patch_d or d
+    stride_hw = max(int(patch_hw * (1 - overlap)), 1)
+    stride_d = max(int(patch_d * (1 - overlap)), 1)
+
+    img2 = None
+    up = cfg.get("upscale_factor", 1.5)
+    if model.num_scales >= 2:
+        img2 = np.asarray(volume_sample["imgs_2"])
+
+    entries = []
+    for z0 in tile_starts(d, patch_d, stride_d):
+        for y0 in tile_starts(h, patch_hw, stride_hw):
+            for x0 in tile_starts(w, patch_hw, stride_hw):
+                patch = img[
+                    z0 : z0 + patch_d,
+                    y0 : y0 + patch_hw,
+                    x0 : x0 + patch_hw,
+                ]
+                sample = {"imgs": patch}
+                if img2 is not None:
+                    z2, y2, x2 = (
+                        int(z0 * up),
+                        int(y0 * up),
+                        int(x0 * up),
+                    )
+                    pd2, ph2 = int(patch_d * up), int(patch_hw * up)
+                    sample["imgs_2"] = img2[
+                        z2 : z2 + pd2, y2 : y2 + ph2, x2 : x2 + ph2
+                    ]
+                dets, labels, valid = runner(sample)
+                per_class = pl.bbox2result3d(
+                    dets, labels, valid, model.num_classes
+                )
+                info = dict(
+                    id=0,
+                    pos_left=x0,
+                    pos_top=y0,
+                    pos_front=z0,
+                )
+                entries.extend(det_entries(per_class, info))
+
+    merged = merge_patch_detections(entries, merge_thr)
+    # back to per-class xyxyzz+score arrays
+    out = [[] for _ in range(model.num_classes - 1)]
+    for e in merged:
+        b = e["bbox"]
+        out[e["category_id"] - 1].append(
+            [
+                b[0],
+                b[1],
+                b[0] + b[2] - 1,
+                b[1] + b[3] - 1,
+                b[4],
+                b[4] + b[5] - 1,
+                e["score"],
+            ]
+        )
+    return [
+        np.asarray(x, np.float32).reshape(-1, 7) for x in out
+    ]

@@ -71,8 +71,13 @@ def train_shapes(cfg):
 
 def train_detector(cfg, dataset, work_dir=None, seed=0, validate=False,
                    val_dataset=None, max_iters=None, mesh="auto",
-                   log_interval=None):
-    """Main entry (reference tools/train.py -> apis/train.py path)."""
+                   log_interval=None, profile_steps=None):
+    """Main entry (reference tools/train.py -> apis/train.py path).
+
+    profile_steps: (start, stop) iteration bounds for a jax.profiler
+    trace written to <work_dir>/profile — the observability hook the
+    reference lacks entirely (SURVEY.md section 5: no profiling anywhere).
+    """
     logger = get_root_logger()
     rng = set_random_seed(seed)
     work_dir = work_dir or cfg.get("work_dir", "./work_dirs/default")
@@ -123,23 +128,39 @@ def train_detector(cfg, dataset, work_dir=None, seed=0, validate=False,
 
     it = int(state.step)
     t_start = time.time()
+    t_last = t_start
+    profiling = False
     for epoch in range(it // iters_per_epoch, total_epochs):
         loader = Prefetcher(
             dataset, batch_size, epoch=epoch, shuffle=True, seed=seed
         )
         for batch in loader:
             batch.pop("img_info", None)
+            if profile_steps and it == profile_steps[0] and not profiling:
+                jax.profiler.start_trace(
+                    str(work_dir) + "/profile"
+                )
+                profiling = True
             rng, step_rng = jax.random.split(rng)
             state, metrics = step_fn(state, batch, step_rng)
             it += 1
+            if profiling and it >= profile_steps[1]:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info("profiler trace written to %s/profile", work_dir)
             if it % log_interval == 0:
                 m = {k: float(v) for k, v in metrics.items()}
+                now = time.time()
+                dt = (now - t_last) / log_interval
+                t_last = now
                 logger.info(
-                    "epoch %d iter %d lr %.2e loss %.4f | %s",
+                    "epoch %d iter %d lr %.2e loss %.4f %.2fs/it | %s",
                     epoch,
                     it,
                     float(sched(it)),
                     m["loss"],
+                    dt,
                     " ".join(
                         f"{k}:{v:.3f}" for k, v in m.items() if k != "loss"
                     ),
