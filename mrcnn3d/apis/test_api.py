@@ -51,7 +51,10 @@ class InferenceRunner:
         @jax.jit
         def fn(batch):
             out = pl.simple_test(model, variables, batch, cfg, sets)
-            return out["dets"], out["labels"], out["valid"]
+            res = (out["dets"], out["labels"], out["valid"])
+            if "mask_logits" in out:
+                res = res + (out["mask_logits"],)
+            return res
 
         self._cache[key] = fn
         return fn
@@ -65,26 +68,45 @@ class InferenceRunner:
             batch["imgs_2"] = jnp.asarray(imgs2)
             shapes.append(imgs2.shape[1:4])
         fn = self._get_fn(shapes)
-        dets, labels, valid = fn(batch)
-        return (
+        out = fn(batch)
+        dets, labels, valid = out[:3]
+        result = (
             np.asarray(dets[0]),
             np.asarray(labels[0]),
             np.asarray(valid[0]),
         )
+        if len(out) > 3:
+            result = result + (np.asarray(out[3], np.float32),)
+        return result
 
 
 def run_inference(cfg, model, variables, dataset, progress=True):
     """Returns (per-image per-class results, img_infos)."""
     runner = InferenceRunner(cfg, model, variables)
-    results, infos = [], []
+    results, infos, segms = [], [], []
     for idx in range(len(dataset)):
         sample = dataset.prepare_test(idx)
-        dets, labels, valid = runner(sample)
+        out = runner(sample)
+        dets, labels, valid = out[:3]
         per_class = pl.bbox2result3d(
             dets, labels, valid, model.num_classes
         )
         results.append(per_class)
         infos.append(sample["img_info"])
+        if len(out) > 3:
+            from ..eval.masks import get_seg_masks_3d
+
+            d, h, w = sample["ori_shape"]
+            cls_segms = get_seg_masks_3d(
+                out[3],
+                dets,
+                labels,
+                valid,
+                model.num_classes,
+                (h, w, d),
+                cfg.test_cfg["rcnn"].get("mask_thr_binary", 0.25),
+            )
+            segms.append(cls_segms)
         if progress:
             logger.info(
                 "inference %d/%d: %d dets",
@@ -92,15 +114,32 @@ def run_inference(cfg, model, variables, dataset, progress=True):
                 len(dataset),
                 int(valid.sum()),
             )
+    if segms:
+        return results, infos, segms
     return results, infos
 
 
 def evaluate_dataset(cfg, model, state, dataset, iou_type="bbox"):
-    """In-loop / offline evaluation: 29-stat 3-D COCO summary."""
+    """In-loop / offline evaluation: 29-stat 3-D COCO summary.
+
+    iou_type 'segm' requires the model's mask path (test_cfg
+    return_bbox_only=False); detections are pasted into full volumes and
+    scored with voxel IoU against lazily-loaded gt masks.
+    """
     variables = {"params": state.params}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
-    results, infos = run_inference(cfg, model, variables, dataset)
+    out = run_inference(cfg, model, variables, dataset)
+    if len(out) == 3 and iou_type == "segm":
+        results, infos, segms = out
+        from ..eval.masks import segm_entries
+
+        entries = []
+        for cls_segms, per_class, info in zip(segms, results, infos):
+            entries.extend(segm_entries(cls_segms, per_class, info))
+        evaluator = CocoEval3D(dataset.coco, entries, iou_type="segm")
+        return evaluator.named_stats(prefix="segm")
+    results, infos = out[:2]
     entries = results2json3d(results, infos)
-    evaluator = CocoEval3D(dataset.coco, entries, iou_type=iou_type)
-    return evaluator.named_stats(prefix=iou_type)
+    evaluator = CocoEval3D(dataset.coco, entries, iou_type="bbox")
+    return evaluator.named_stats(prefix="bbox")

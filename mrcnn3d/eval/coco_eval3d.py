@@ -111,6 +111,26 @@ class CocoEval3D:
         self.eval = None
         self.stats = None
 
+    # -- mask materialisation -------------------------------------------
+
+    @staticmethod
+    def _dt_mask(d):
+        return np.asarray(d["segmentation"])
+
+    @staticmethod
+    def _gt_mask(g):
+        """gt `segmentation` is either an in-memory volume or a reference-
+        style .npy path + segmentation_label (lazy load, reference
+        cocoeval.py:101-119 _toMask)."""
+        seg = g["segmentation"]
+        if isinstance(seg, str):
+            vol = np.load(seg, allow_pickle=True)
+            label = g.get("segmentation_label", 1)
+            mask = (vol == label).astype(np.uint8)
+            # disk layout is (H, W, D); evaluation uses (D, H, W)
+            return np.transpose(mask, (2, 0, 1))
+        return np.asarray(seg)
+
     # -- matching --------------------------------------------------------
 
     def _evaluate_img(self, img_id, cat_id, area_rng, max_det):
@@ -136,8 +156,8 @@ class CocoEval3D:
 
         if self.iou_type == "segm":
             ious = voxel_iou(
-                [d["segmentation"] for d in dts],
-                [g["segmentation"] for g in gts],
+                [self._dt_mask(d) for d in dts],
+                [self._gt_mask(g) for g in gts],
             )
         else:
             ious = iou3d_xywhzd(

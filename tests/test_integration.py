@@ -92,6 +92,14 @@ def test_train_and_eval(tiny_cfg, synth_data, tmp_path):
     assert "bbox_mAP" in stats and len(stats) == 29
     assert all(np.isfinite(v) for v in stats.values())
 
+    # segm path: mask head -> full-volume paste -> voxel IoU eval
+    tiny_cfg.test_cfg["return_bbox_only"] = False
+    segm_stats = evaluate_dataset(
+        tiny_cfg, model, state, test_ds, iou_type="segm"
+    )
+    tiny_cfg.test_cfg["return_bbox_only"] = True
+    assert "segm_mAP" in segm_stats and len(segm_stats) == 29
+
 
 def test_checkpoint_resume(tiny_cfg, synth_data, tmp_path):
     ann_file, img_dir = synth_data
