@@ -28,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _axis_samples(lo, ln, pooled, sample_num):
@@ -161,7 +162,19 @@ def roi_align_3d(
     return acc.mean(axis=(2, 4, 6))
 
 
-def multi_level_roi_align_3d(
+def map_roi_levels(rois, num_levels, finest_scale=56):
+    """Per-roi FPN level: floor(log2(sqrt(w*h*d)/finest + 1e-6)), clamped
+    (reference single_level.py:73-81)."""
+    scale = jnp.sqrt(
+        (rois[:, 3] - rois[:, 1] + 1)
+        * (rois[:, 4] - rois[:, 2] + 1)
+        * (rois[:, 6] - rois[:, 5] + 1)
+    )
+    target = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
+    return jnp.clip(target, 0, num_levels - 1).astype(jnp.int32)
+
+
+def multi_level_roi_align_3d_reference(
     feats,
     rois,
     out_size,
@@ -172,25 +185,12 @@ def multi_level_roi_align_3d(
     finest_scale=56,
     valid=None,
 ):
-    """FPN-level-dispatched RoIAlign (reference roi_extractors/single_level.py).
+    """Naive level dispatch: run every level over all rois and select.
 
-    Each roi maps to a level via floor(log2(sqrt(w*h*d)/finest_scale + 1e-6))
-    clamped to [0, L-1] (reference single_level.py:73-81); with static
-    shapes we run every level over all rois and select per-roi — the XLA
-    answer to the reference's boolean-index scatter (:98-104).
-
-    feats: list of (B, D, H, W, C); rois (N, 7); valid (N,) bool or None.
-    Returns (N, out_size_depth, out_size, out_size, C).
+    Kept as the oracle for the fused version below (4x the gather work).
     """
     num_levels = len(feats)
-    scale = jnp.sqrt(
-        (rois[:, 3] - rois[:, 1] + 1)
-        * (rois[:, 4] - rois[:, 2] + 1)
-        * (rois[:, 6] - rois[:, 5] + 1)
-    )
-    target = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
-    target = jnp.clip(target, 0, num_levels - 1).astype(jnp.int32)
-
+    target = map_roi_levels(rois, num_levels, finest_scale)
     out = None
     for i in range(num_levels):
         pooled = roi_align_3d(
@@ -208,3 +208,135 @@ def multi_level_roi_align_3d(
         pooled = jnp.where(sel[:, None, None, None, None], pooled, 0.0)
         out = pooled if out is None else out + pooled
     return out
+
+
+def multi_level_roi_align_3d(
+    feats,
+    rois,
+    out_size,
+    out_size_depth,
+    featmap_strides,
+    featmap_strides_depth,
+    sample_num=2,
+    finest_scale=56,
+    valid=None,
+):
+    """FPN-level-dispatched RoIAlign — fused single pass.
+
+    Same semantics as the reference's per-level scatter-gather
+    (single_level.py:84-104), but instead of aligning every roi against
+    every level (4x gather traffic), all levels are flattened into one
+    (sum(B*Dl*Hl*Wl), C) buffer and each roi gathers through its own
+    level's offset with per-roi scales — one gather pass total.
+
+    feats: list of (B, D, H, W, C); rois (N, 7) [b, x1..z2];
+    valid (N,) bool or None.  Returns (N, out_d, out, out, C).
+    """
+    num_levels = len(feats)
+    b = feats[0].shape[0]
+    c = feats[0].shape[-1]
+    n = rois.shape[0]
+    compute_dtype = feats[0].dtype
+
+    target = map_roi_levels(rois, num_levels, finest_scale)
+    if valid is not None:
+        # invalid rois -> level 0 (cheap, masked out at the end)
+        target = jnp.where(valid, target, 0)
+
+    # static level metadata
+    dims = np.array([f.shape[1:4] for f in feats], np.int32)  # (L, 3)
+    sizes = np.array(
+        [b * int(np.prod(f.shape[1:4])) for f in feats], np.int64
+    )
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
+    inv_xy = np.array([1.0 / s for s in featmap_strides], np.float32)
+    inv_d = np.array(
+        [1.0 / s for s in featmap_strides_depth], np.float32
+    )
+
+    flat = jnp.concatenate(
+        [f.reshape(-1, c) for f in feats], axis=0
+    )  # (sum(B*D*H*W), C)
+
+    # per-roi level params
+    t = target
+    dim_d = jnp.asarray(dims[:, 0])[t]
+    dim_h = jnp.asarray(dims[:, 1])[t]
+    dim_w = jnp.asarray(dims[:, 2])[t]
+    sc_xy = jnp.asarray(inv_xy)[t]
+    sc_d = jnp.asarray(inv_d)[t]
+    off = jnp.asarray(offsets)[t]
+    batch_idx = rois[:, 0].astype(jnp.int32)
+
+    start_w = rois[:, 1] * sc_xy
+    start_h = rois[:, 2] * sc_xy
+    end_w = (rois[:, 3] + 1.0) * sc_xy
+    end_h = (rois[:, 4] + 1.0) * sc_xy
+    start_d = rois[:, 5] * sc_d
+    end_d = (rois[:, 6] + 1.0) * sc_d
+
+    roi_w = jnp.maximum(end_w - start_w, 0.0)
+    roi_h = jnp.maximum(end_h - start_h, 0.0)
+    roi_d = jnp.maximum(end_d - start_d, 0.0)
+
+    sn = sample_num
+    xs = _axis_samples(start_w, roi_w, out_size, sn)  # (N, Sw)
+    ys = _axis_samples(start_h, roi_h, out_size, sn)
+    zs = _axis_samples(start_d, roi_d, out_size_depth, sn)
+
+    def interp(coord, dim):
+        # per-roi dim: dim (N,) broadcast against coord (N, S)
+        dimf = dim[:, None].astype(coord.dtype)
+        in_range = (coord >= -1.0) & (coord <= dimf)
+        cc = jnp.maximum(coord, 0.0)
+        low = jnp.floor(cc).astype(jnp.int32)
+        at_edge = low >= dim[:, None] - 1
+        low = jnp.where(at_edge, dim[:, None] - 1, low)
+        high = jnp.where(at_edge, dim[:, None] - 1, low + 1)
+        cc = jnp.where(at_edge, low.astype(coord.dtype), cc)
+        frac = cc - low.astype(coord.dtype)
+        return low, high, 1.0 - frac, frac, in_range
+
+    xl, xh, wxl, wxh, xin = interp(xs, dim_w)
+    yl, yh, wyl, wyh, yin = interp(ys, dim_h)
+    zl, zh, wzl, wzh, zin = interp(zs, dim_d)
+
+    sd, sh_, sw = zs.shape[1], ys.shape[1], xs.shape[1]
+    base = off + batch_idx * dim_d * dim_h * dim_w  # (N,)
+
+    def corner(zi, yi, xi, wz, wy, wx):
+        idx = (
+            base[:, None, None, None]
+            + (
+                zi[:, :, None, None] * dim_h[:, None, None, None]
+                + yi[:, None, :, None]
+            )
+            * dim_w[:, None, None, None]
+            + xi[:, None, None, :]
+        )
+        vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(
+            n, sd, sh_, sw, c
+        )
+        wgt = (
+            wz[:, :, None, None]
+            * wy[:, None, :, None]
+            * wx[:, None, None, :]
+        ).astype(compute_dtype)
+        return vals * wgt[..., None]
+
+    acc = corner(zl, yl, xl, wzl, wyl, wxl)
+    acc += corner(zl, yl, xh, wzl, wyl, wxh)
+    acc += corner(zl, yh, xl, wzl, wyh, wxl)
+    acc += corner(zl, yh, xh, wzl, wyh, wxh)
+    acc += corner(zh, yl, xl, wzh, wyl, wxl)
+    acc += corner(zh, yl, xh, wzh, wyl, wxh)
+    acc += corner(zh, yh, xl, wzh, wyh, wxl)
+    acc += corner(zh, yh, xh, wzh, wyh, wxh)
+
+    ok = zin[:, :, None, None] & yin[:, None, :, None] & xin[:, None, None, :]
+    if valid is not None:
+        ok = ok & valid[:, None, None, None]
+    acc = jnp.where(ok[..., None], acc, 0.0)
+
+    acc = acc.reshape(n, out_size_depth, sn, out_size, sn, out_size, sn, c)
+    return acc.mean(axis=(2, 4, 6))

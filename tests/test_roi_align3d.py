@@ -156,3 +156,62 @@ def test_multi_level_dispatch():
     np.testing.assert_allclose(
         np.asarray(out[1:]), np.asarray(direct1), atol=1e-5
     )
+
+
+def test_fused_matches_reference_dispatch():
+    from mrcnn3d.ops.roi_align3d import multi_level_roi_align_3d_reference
+
+    rng = np.random.RandomState(11)
+    feats = [
+        jnp.asarray(rng.randn(2, 16, 32, 32, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(2, 8, 16, 16, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(2, 4, 8, 8, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(2, 2, 4, 4, 8).astype(np.float32)),
+    ]
+    n = 24
+    x1 = rng.uniform(0, 80, n)
+    y1 = rng.uniform(0, 80, n)
+    z1 = rng.uniform(0, 20, n)
+    rois = np.stack(
+        [
+            rng.randint(0, 2, n).astype(np.float64),
+            x1, y1,
+            x1 + rng.uniform(4, 120, n),
+            y1 + rng.uniform(4, 120, n),
+            z1,
+            z1 + rng.uniform(2, 10, n),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    valid = rng.rand(n) > 0.2
+    args = ([4, 8, 16, 32], [2, 4, 8, 16])
+    ref = multi_level_roi_align_3d_reference(
+        feats, jnp.asarray(rois), 7, 3, *args, 2, valid=jnp.asarray(valid)
+    )
+    fused = multi_level_roi_align_3d(
+        feats, jnp.asarray(rois), 7, 3, *args, 2, valid=jnp.asarray(valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), atol=1e-4
+    )
+
+
+def test_fused_gradients_flow():
+    from mrcnn3d.ops.roi_align3d import multi_level_roi_align_3d
+
+    rng = np.random.RandomState(12)
+    feats = [
+        jnp.asarray(rng.randn(1, 8, 16, 16, 4).astype(np.float32)),
+        jnp.asarray(rng.randn(1, 4, 8, 8, 4).astype(np.float32)),
+    ]
+    rois = jnp.asarray([[0, 2, 2, 30, 30, 1, 6]], jnp.float32)
+
+    def f(f0):
+        out = multi_level_roi_align_3d(
+            [f0, feats[1]], rois, 7, 3, [4, 8], [2, 4], 2
+        )
+        return jnp.sum(out**2)
+
+    g = jax.grad(f)(feats[0])
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
