@@ -57,7 +57,8 @@ def build_detector(cfg, dtype=jnp.float32):
     if kind == "MaskRCNN3DParcel" and not num_parcellations:
         num_parcellations = 15
     return Detector3D(
-        depth=m["backbone"]["depth"],
+        depth=m["backbone"].get("depth", 50),
+        backbone_type=m["backbone"].get("type", "ResNet3D"),
         num_parcellations=num_parcellations,
         fpn_channels=m["neck"]["out_channels"],
         num_outs=m["neck"]["num_outs"],

@@ -1,0 +1,165 @@
+"""Alternative backbones: UNet3D and ResNeXt3D.
+
+Capability parity with the reference's secondary backbones:
+  * UNet3D — 4-level 3-D U-Net returning FPN-compatible multi-scale maps
+    (reference mmdet/models/backbones/unet3d.py returns a single fused
+    map; here the decoder taps are exposed per scale so the same FPN3D /
+    head stack applies).
+  * ResNeXt3D — ResNet3D with grouped 3x3x3 convs (reference
+    resnext3d.py mirrors resnet3d with groups); flax `feature_group_count`
+    maps directly onto the grouped conv.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import FrozenBatchNorm, max_pool_3d
+from .resnet3d import ARCH_SETTINGS
+
+
+class UNet3D(nn.Module):
+    base_channels: int = 16
+    num_levels: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        skips = []
+        c = self.base_channels
+        for i in range(self.num_levels):
+            for j in range(2):
+                x = nn.Conv(
+                    c * 2**i,
+                    (3, 3, 3),
+                    padding=1,
+                    dtype=self.dtype,
+                    name=f"enc{i}_conv{j}",
+                )(x)
+                x = nn.relu(x)
+            skips.append(x)
+            if i < self.num_levels - 1:
+                x = max_pool_3d(x, (2, 2, 2), (2, 2, 2), "VALID")
+        outs = [skips[-1]]
+        for i in range(self.num_levels - 2, -1, -1):
+            b, d, h, w, _ = skips[i].shape
+            up = jnp.repeat(
+                jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2), 2, axis=3
+            )[:, :d, :h, :w]
+            x = jnp.concatenate([up, skips[i]], axis=-1)
+            for j in range(2):
+                x = nn.Conv(
+                    c * 2**i,
+                    (3, 3, 3),
+                    padding=1,
+                    dtype=self.dtype,
+                    name=f"dec{i}_conv{j}",
+                )(x)
+                x = nn.relu(x)
+            outs.append(x)
+        # coarse -> fine decoder taps, reordered fine -> coarse for FPN
+        return tuple(reversed(outs))
+
+
+class BottleneckX3D(nn.Module):
+    planes: int
+    stride: int = 1
+    groups: int = 32
+    base_width: int = 4
+    with_downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        s = self.stride
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        width = max(width, self.groups)
+        out = nn.Conv(
+            width, (1, 1, 1), use_bias=False, dtype=self.dtype, name="conv1"
+        )(x)
+        out = FrozenBatchNorm(dtype=self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(
+            width,
+            (3, 3, 3),
+            strides=(s, s, s),
+            padding=1,
+            feature_group_count=self.groups,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv2",
+        )(out)
+        out = FrozenBatchNorm(dtype=self.dtype, name="bn2")(out)
+        out = nn.relu(out)
+        out = nn.Conv(
+            self.planes * 4,
+            (1, 1, 1),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv3",
+        )(out)
+        out = FrozenBatchNorm(dtype=self.dtype, name="bn3")(out)
+        if self.with_downsample:
+            identity = nn.Conv(
+                self.planes * 4,
+                (1, 1, 1),
+                strides=(s, s, s),
+                use_bias=False,
+                dtype=self.dtype,
+                name="downsample_conv",
+            )(x)
+            identity = FrozenBatchNorm(
+                dtype=self.dtype, name="downsample_bn"
+            )(identity)
+        return nn.relu(out + identity)
+
+
+class ResNeXt3D(nn.Module):
+    depth: int = 50
+    groups: int = 32
+    base_width: int = 4
+    width: int = 16
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        _, stage_blocks = ARCH_SETTINGS[self.depth]
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            self.width,
+            (7, 7, 7),
+            strides=(1, 2, 2),
+            padding=3,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv1",
+        )(x)
+        x = FrozenBatchNorm(dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = max_pool_3d(x, (3, 3, 3), (2, 2, 2), [(1, 1), (1, 1), (1, 1)])
+        outs = []
+        in_ch = self.width
+        strides = (1, 2, 2, 2)
+        for i, nblocks in enumerate(stage_blocks[:4]):
+            planes = self.width * 2**i
+            for j in range(nblocks):
+                x = BottleneckX3D(
+                    planes=planes,
+                    stride=strides[i] if j == 0 else 1,
+                    groups=self.groups,
+                    base_width=self.base_width,
+                    with_downsample=(
+                        j == 0 and (strides[i] != 1 or in_ch != planes * 4)
+                    ),
+                    dtype=self.dtype,
+                    name=f"layer{i + 1}_{j}",
+                )(x)
+                in_ch = planes * 4
+            if i in self.out_indices:
+                outs.append(x)
+        return tuple(outs)

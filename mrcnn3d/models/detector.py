@@ -40,6 +40,7 @@ class Detector3D(nn.Module):
     """Backbone + FPN + per-scale RPN/bbox/mask heads + refinement head."""
 
     depth: int = 50
+    backbone_type: str = "ResNet3D"
     fpn_channels: int = 64
     num_outs: int = 5
     num_classes: int = 2
@@ -57,9 +58,18 @@ class Detector3D(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet3D(
-            depth=self.depth, remat=self.remat, dtype=self.dtype
-        )
+        if self.backbone_type == "ResNeXt3D":
+            from .backbones_extra import ResNeXt3D
+
+            self.backbone = ResNeXt3D(depth=self.depth, dtype=self.dtype)
+        elif self.backbone_type == "UNet3D":
+            from .backbones_extra import UNet3D
+
+            self.backbone = UNet3D(dtype=self.dtype)
+        else:
+            self.backbone = ResNet3D(
+                depth=self.depth, remat=self.remat, dtype=self.dtype
+            )
         self.neck = FPN3D(
             out_channels=self.fpn_channels,
             num_outs=self.num_outs,

@@ -173,3 +173,58 @@ def nms_3d_numpy(dets, iou_thr):
         iou = inter / (vol[i] + vol[i + 1:] - inter)
         alive[i + 1:] &= ~(iou > iou_thr)
     return keep
+
+
+def soft_nms_3d_numpy(dets, iou_thr=0.3, method="linear", sigma=0.5,
+                      min_score=1e-3):
+    """Soft-NMS with linear/gaussian score decay (host-side numpy).
+
+    Capability parity with the reference's Cython soft_nms_cpu
+    (mmdet/ops/nms/src/soft_nms_cpu.pyx, gated behind a breakpoint and
+    2-D only there) — here implemented for 6-DoF boxes with symmetric
+    volume IoU.  dets (N, 7); returns (new_dets, kept_original_indices).
+    """
+    dets = np.asarray(dets, np.float32).copy()
+    n = dets.shape[0]
+    idxs = np.arange(n)
+    out, out_idx = [], []
+    while len(dets):
+        top = int(np.argmax(dets[:, 6]))
+        best = dets[top].copy()
+        out.append(best)
+        out_idx.append(int(idxs[top]))
+        dets = np.delete(dets, top, axis=0)
+        idxs = np.delete(idxs, top)
+        if not len(dets):
+            break
+        xa = np.maximum(best[0], dets[:, 0])
+        ya = np.maximum(best[1], dets[:, 1])
+        za = np.maximum(best[4], dets[:, 4])
+        xb = np.minimum(best[2], dets[:, 2])
+        yb = np.minimum(best[3], dets[:, 3])
+        zb = np.minimum(best[5], dets[:, 5])
+        inter = (
+            np.maximum(0, xb - xa + 1)
+            * np.maximum(0, yb - ya + 1)
+            * np.maximum(0, zb - za + 1)
+        )
+        va = (best[2] - best[0] + 1) * (best[3] - best[1] + 1) * (
+            best[5] - best[4] + 1
+        )
+        vb = (
+            (dets[:, 2] - dets[:, 0] + 1)
+            * (dets[:, 3] - dets[:, 1] + 1)
+            * (dets[:, 5] - dets[:, 4] + 1)
+        )
+        iou = inter / (va + vb - inter)
+        if method == "linear":
+            decay = np.where(iou > iou_thr, 1.0 - iou, 1.0)
+        elif method == "gaussian":
+            decay = np.exp(-(iou**2) / sigma)
+        else:  # naive -> hard nms
+            decay = (iou <= iou_thr).astype(np.float32)
+        dets[:, 6] *= decay
+        keep = dets[:, 6] >= min_score
+        dets = dets[keep]
+        idxs = idxs[keep]
+    return np.stack(out) if out else np.zeros((0, 7), np.float32), out_idx
