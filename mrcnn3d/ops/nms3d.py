@@ -6,9 +6,9 @@ Two variants exist in the reference with *different* overlap definitions:
    mmdet/ops/nms/src/nms_kernel.cu:23-33 `devIoU3d` + :196-257
    `nms_cuda_3d`): boxes sorted by score descending, greedy suppression of
    boxes with symmetric volume IoU (+1 extents) > thr.  The GPU 64-bit
-   bitmask + host scan is GPU-specific; the TPU-idiomatic formulation is a
-   `lax.fori_loop` over score-sorted boxes updating an alive mask against a
-   precomputed IoU matrix — fully jit-compatible, static shapes.
+   bitmask + host scan is GPU-specific; the TPU-idiomatic formulation is
+   an exact fixed-point iteration of the greedy prefix recurrence (see
+   nms_3d_mask) — fully jit-compatible, static shapes.
 
 2. `nms_3d_overlap_numpy` — the eval-time patch-merge NMS (reference
    mmdet/ops/nms/nms_wrapper.py:84-140 `nms_3d_python`, duplicated at
