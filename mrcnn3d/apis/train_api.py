@@ -126,13 +126,18 @@ def train_detector(cfg, dataset, work_dir=None, seed=0, validate=False,
         "interval", 1
     )
 
+    # per-host data sharding (reference DistributedGroupSampler role):
+    # each process loads its own deterministic shard of every epoch
+    rank, world = jax.process_index(), jax.process_count()
+
     it = int(state.step)
     t_start = time.time()
     t_last = t_start
     profiling = False
     for epoch in range(it // iters_per_epoch, total_epochs):
         loader = Prefetcher(
-            dataset, batch_size, epoch=epoch, shuffle=True, seed=seed
+            dataset, batch_size, epoch=epoch, shuffle=True, seed=seed,
+            rank=rank, world=world,
         )
         for batch in loader:
             batch.pop("img_info", None)

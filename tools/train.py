@@ -42,6 +42,13 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if args.launcher not in ("none", None):
+        # multi-host pod: single-controller jax distributed runtime
+        # (replaces the reference's torch.distributed/NCCL init,
+        # mmdet/apis/env.py:13-50)
+        import jax
+
+        jax.distributed.initialize()
     from mrcnn3d.apis.train_api import train_detector
     from mrcnn3d.data.coco3d import Coco3D2ScalesDataset, Coco3DDataset
     from mrcnn3d.utils.config import Config
