@@ -158,6 +158,38 @@ def random_sample(key, assigned, num, pos_fraction):
     )
 
 
+def hard_negative_sample(
+    key, assigned, num, pos_fraction, neg_rank_key
+):
+    """Sampler with ranked negative selection — the vectorized stand-in
+    for the reference's OHEM / IoU-balanced negative samplers
+    (mmdet/core/bbox/samplers/ohem_sampler.py, iou_balanced_neg_sampler.py,
+    present but unused there).
+
+    Positives: as `random_sample`.  Negatives: the top
+    (num - pos_count) candidates by `neg_rank_key` (e.g. proposal
+    objectness for hard negatives, or negated |IoU - 0.25| for an
+    IoU-balanced flavour) instead of uniform sampling.
+    """
+    base = random_sample(key, assigned, num, pos_fraction)
+    is_neg = assigned == 0
+    neg_inf = jnp.asarray(-jnp.inf, jnp.float32)
+    ranked = jnp.where(is_neg, neg_rank_key.astype(jnp.float32), neg_inf)
+    top_vals, top_idx = jax.lax.top_k(ranked, num)
+    n_neg = jnp.sum(is_neg)
+    num_expected_neg = num - base.pos_count
+    neg_count = jnp.minimum(n_neg, num_expected_neg)
+    neg_mask = (jnp.arange(num) < neg_count) & (top_vals > neg_inf)
+    return SampleResult(
+        base.pos_inds,
+        base.pos_mask,
+        top_idx.astype(jnp.int32),
+        neg_mask,
+        base.pos_count,
+        neg_count,
+    )
+
+
 def _oob(inds, mask, size):
     """Route masked-out slots to an out-of-bounds index (dropped on scatter)."""
     return jnp.where(mask, inds, size)
@@ -269,6 +301,7 @@ def sample_rcnn_single(
     num_classes=2,
     reg_class_agnostic=False,
     add_gt_as_proposals=True,
+    proposal_scores=None,
 ):
     """Assign + sample proposals and build R-CNN bbox-head targets.
 
@@ -308,7 +341,21 @@ def sample_rcnn_single(
         )
         assigned = assigned.at[:g].set(self_assign)
 
-    res = random_sample(key, assigned, num, sampler["pos_fraction"])
+    sampler_type = sampler.get("type", "RandomSampler")
+    if sampler_type in ("OHEMSampler", "HardNegativeSampler") and (
+        proposal_scores is not None
+    ):
+        g = gt_boxes.shape[0] if add_gt_as_proposals else 0
+        scores = proposal_scores
+        if add_gt_as_proposals:
+            scores = jnp.concatenate(
+                [jnp.zeros((g,), scores.dtype), scores]
+            )
+        res = hard_negative_sample(
+            key, assigned, num, sampler["pos_fraction"], scores
+        )
+    else:
+        res = random_sample(key, assigned, num, sampler["pos_fraction"])
 
     p = res.pos_inds.shape[0]  # quota of positive slots
     # pack [pos slots | neg slots] then keep the first `num` valid slots

@@ -342,7 +342,7 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
         b = imgs.shape[0]
         keys = jax.random.split(rngs[3 + s], b)
         samples = jax.vmap(
-            lambda k, pb, pv, gb, gv, gl: sample_rcnn_single(
+            lambda k, pb, pv, gb, gv, gl, ps: sample_rcnn_single(
                 k,
                 pb,
                 pv,
@@ -353,8 +353,9 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
                 tuple(cfg.model["bbox_head"]["target_means"]),
                 tuple(cfg.model["bbox_head"]["target_stds"]),
                 num_classes=num_classes,
+                proposal_scores=ps,
             )
-        )(keys, pboxes, pvalid, gtb, gtv, gtl)
+        )(keys, pboxes, pvalid, gtb, gtv, gtl, pscores)
 
         feats_s.append(feats)
         props_s.append((pboxes, pscores, pvalid))
@@ -728,15 +729,24 @@ def simple_test(
         )(parcel_all, src_idx)
 
     if model.with_mask and not test_cfg.get("return_bbox_only", False):
-        # mask head on the 1.0x features for all surviving detections
+        # mask heads on the 1.0x features for all surviving detections;
+        # with a refinement mask head, each detection uses the head
+        # matching its provenance (reference :385-434 splits dets by
+        # resolution via box equality; src_idx makes that exact here)
         mask_roi_cfg = cfg.model["mask_roi_extractor"]
         det_boxes = dets[..., :6]
-        if rescale:
-            # det boxes are in ori frame == 1.0x feature frame here
-            pass
         rois, rvalid = flat_rois(det_boxes, dvalid)
         mfeats = _roi_align_cfg(feats_s[0], rois, mask_roi_cfg, rvalid)
         mpred = apply(mfeats, 0, method=model.mask_forward)
+        if model.with_refinement_mask and model.num_scales >= 2:
+            m1 = boxes_s[0].shape[1]  # rows < m1 came from the 1.0x path
+            refined = (src_idx >= m1).reshape(-1)
+            mpred_ref = apply(
+                mfeats, method=model.refinement_mask_forward
+            )
+            mpred = jnp.where(
+                refined[:, None, None, None, None], mpred_ref, mpred
+            )
         out["mask_logits"] = mpred
     return out
 
