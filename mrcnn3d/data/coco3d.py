@@ -270,3 +270,47 @@ class Coco3DParcelDataset(Coco3DDataset):
             sample["gt_labels"] = stacked[:, 0]
             sample["gt_bregions"] = stacked[:, 1]
         return sample
+
+
+class Coco3D3ScalesDataset(Coco3D2ScalesDataset):
+    """Triple-resolution dataset (reference coco_3d_3scales.py).
+
+    Train: crop at 1.0x, synthesise 1.5x and 2.25x (factor^2) twins by
+    trilinear upscale; gt boxes scaled accordingly.
+    """
+
+    def prepare_train(self, idx):
+        sample = super().prepare_train(idx)
+        up = self.upscale_factor**2
+        img = sample["imgs"]
+        d, h, w, _ = img.shape
+        out = (int(d * up), int(h * up), int(w * up))
+        from .. import native
+
+        img3 = native.resize_trilinear(img, *out)
+        img3, _ = pad_to_divisor(img3, self.size_divisor)
+        sample["imgs_3"] = img3
+        sample["gt_boxes_3"] = sample["gt_boxes"] * up
+        sample["gt_labels_3"] = sample["gt_labels"]
+        sample["gt_valid_3"] = sample["gt_valid"]
+        return sample
+
+    def prepare_test(self, idx):
+        sample = super().prepare_test(idx)
+        up = self.upscale_factor**2
+        vol = self.load_volume(sample["img_info"])
+        from .. import native
+
+        vol3 = native.resize_trilinear(
+            np.ascontiguousarray(vol, np.float32)[..., None],
+            int(vol.shape[0] * up),
+            int(vol.shape[1] * up),
+            int(vol.shape[2] * up),
+        )[..., 0]
+        img3 = normalize_volume(
+            vol3, self.img_norm_cfg["mean"], self.img_norm_cfg["std"]
+        )
+        img3, ori3 = pad_to_divisor(img3, self.size_divisor)
+        sample["imgs_3"] = img3
+        sample["ori_shape_3"] = ori3
+        return sample

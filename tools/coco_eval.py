@@ -20,8 +20,11 @@ sys.path.insert(
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("results", help="results pickle (per-image per-class "
-                                   "arrays) or COCO dt json")
+    p.add_argument("results", nargs="+",
+                   help="one or more results pickles (per-image per-class "
+                        "arrays) or COCO dt jsons; multiple files are "
+                        "merged before the global NMS (reference "
+                        "results2json3DMulti)")
     p.add_argument("ann_file", help="ground-truth COCO-3D json")
     p.add_argument("--no-merge", action="store_true",
                    help="skip the patch-merge NMS")
@@ -31,13 +34,19 @@ def main():
     from mrcnn3d.eval.results import results2json3d
 
     gt = json.load(open(args.ann_file))
-    if args.results.endswith(".json"):
-        entries = json.load(open(args.results))
-    else:
-        with open(args.results, "rb") as f:
-            results = pickle.load(f)
-        infos = gt["images"][: len(results)]
-        entries = results2json3d(results, infos, merge=not args.no_merge)
+    entries = []
+    for path in args.results:
+        if path.endswith(".json"):
+            entries.extend(json.load(open(path)))
+        else:
+            with open(path, "rb") as f:
+                results = pickle.load(f)
+            infos = gt["images"][: len(results)]
+            entries.extend(results2json3d(results, infos, merge=False))
+    if not args.no_merge:
+        from mrcnn3d.eval.results import merge_patch_detections
+
+        entries = merge_patch_detections(entries)
 
     evaluator = CocoEval3D(gt, entries)
     for k, v in evaluator.named_stats().items():
