@@ -27,6 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mrcnn3d_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
+
 
 def main():
     from mrcnn3d.detectors import pipeline as pl
