@@ -13,3 +13,23 @@ Design stance (vs. the CUDA/PyTorch reference):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("MRCNN3D_NO_COMPILE_CACHE") != "1":
+    # XLA compiles of the whole-volume graphs are expensive (minutes via
+    # the remote compile service); persist them across processes.
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get(
+                "MRCNN3D_COMPILE_CACHE", "/tmp/mrcnn3d_jax_cache"
+            ),
+        )
+        _jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 10
+        )
+    except Exception:
+        pass
