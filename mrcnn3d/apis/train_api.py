@@ -24,10 +24,18 @@ from ..train.step import create_train_state, make_train_step
 
 
 def get_root_logger(log_level=logging.INFO):
-    logging.basicConfig(
-        format="%(asctime)s - %(levelname)s - %(message)s", level=log_level
-    )
-    return logging.getLogger("mrcnn3d")
+    logger = logging.getLogger("mrcnn3d")
+    if not logger.handlers:
+        # absl (pulled in by jax) installs root handlers that swallow
+        # records; attach our own stream handler explicitly
+        handler = logging.StreamHandler()
+        handler.setFormatter(
+            logging.Formatter("%(asctime)s - %(levelname)s - %(message)s")
+        )
+        logger.addHandler(handler)
+        logger.propagate = False
+    logger.setLevel(log_level)
+    return logger
 
 
 def set_random_seed(seed):
