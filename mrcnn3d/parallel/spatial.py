@@ -1,0 +1,65 @@
+"""Spatial sharding of the whole-volume conv forward over ICI.
+
+The reference handles volumes that exceed one device's memory by patch
+tiling only (SURVEY.md section 5).  On a TPU mesh, XLA's SPMD partitioner
+can instead split the *depth axis of the volume itself* across chips —
+convolutions over a sharded spatial dimension get their halo exchanges
+inserted automatically — so one whole-volume backbone+FPN pass runs with
+1/N activation memory per chip and collectives riding ICI.  The detection
+stages (proposals onward) consume replicated features.
+
+This is a new capability relative to the reference (a single GPU could
+never hold the 768^2 x 240 activations).
+"""
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def spatial_extract_feat(model, variables, mesh: Mesh, axis: str = "data"):
+    """Returns a jitted extract_feat with the volume depth axis sharded.
+
+    imgs (B, D, H, W, 3) are sharded over D across `axis`; FPN outputs are
+    gathered back to replicated for the (cheap) detection stages.
+
+    D must be divisible by the mesh axis size times the total depth
+    stride (16) for even sharding; pad the volume accordingly.
+    """
+    in_sh = NamedSharding(mesh, P(None, axis))
+    out_sh = NamedSharding(mesh, P())
+
+    @jax.jit
+    def fn(imgs):
+        imgs = jax.lax.with_sharding_constraint(imgs, in_sh)
+        feats = model.apply(variables, imgs, method=model.extract_feat)
+        return tuple(
+            jax.lax.with_sharding_constraint(f, out_sh) for f in feats
+        )
+
+    return fn
+
+
+def sharded_simple_test(model, variables, cfg, anchor_sets, mesh,
+                        axis: str = "data"):
+    """Whole-volume inference with the backbone spatially sharded.
+
+    Feature extraction runs depth-sharded; proposals/heads/NMS run
+    replicated (they are <5%% of the FLOPs).
+    """
+    from ..detectors import pipeline as pl
+
+    in_sh = NamedSharding(mesh, P(None, axis))
+
+    @jax.jit
+    def fn(batch):
+        batch = {
+            k: jax.lax.with_sharding_constraint(v, in_sh)
+            if k.startswith("imgs")
+            else v
+            for k, v in batch.items()
+        }
+        out = pl.simple_test(model, variables, batch, cfg, anchor_sets)
+        return out["dets"], out["labels"], out["valid"]
+
+    return fn
