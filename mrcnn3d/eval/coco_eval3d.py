@@ -108,6 +108,7 @@ class CocoEval3D:
             d.setdefault("id", i + 1)
             self._dts[(d["image_id"], d["category_id"])].append(d)
         self.best_overlaps = {}
+        self.parcellation_confusion = {}  # (gt_region, pred_region) -> n
         self.eval = None
         self.stats = None
 
@@ -176,6 +177,18 @@ class CocoEval3D:
                 height=g["bbox"][3],
                 depth=g["bbox"][5],
             )
+            # parcellation confusion: most-overlapping prediction's
+            # brain-region vs gt (fork cocoeval.py:297-304)
+            if len(dts) and "brain_region" in g:
+                best_d = dts[int(np.argmax(ious[:, j]))]
+                if "parcellation" in best_d:
+                    pair = (
+                        int(g["brain_region"]),
+                        int(best_d["parcellation"]),
+                    )
+                    self.parcellation_confusion[pair] = (
+                        self.parcellation_confusion.get(pair, 0) + 1
+                    )
 
         t = len(IOU_THRS)
         dt_matches = np.zeros((t, len(dts)), np.int64)

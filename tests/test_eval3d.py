@@ -138,3 +138,30 @@ class TestResultsJson:
         assert len(entries) == 1  # duplicate suppressed by merge NMS
         e = CocoEval3D(gt, entries)
         assert e.summarize()[0] == 1.0
+
+
+def test_parcellation_confusion_tracking():
+    gt = _gt([1], [(1, [10, 10, 5, 5, 3, 4])])
+    gt["annotations"][0]["brain_region"] = 7
+    dt = [
+        dict(
+            image_id=1,
+            category_id=1,
+            bbox=[10, 10, 5, 5, 3, 4],
+            score=0.9,
+            parcellation=7,
+        ),
+        dict(
+            image_id=1,
+            category_id=1,
+            bbox=[11, 11, 5, 5, 3, 4],
+            score=0.3,
+            parcellation=2,
+        ),
+    ]
+    e = CocoEval3D(gt, dt)
+    e.summarize()
+    # the best-overlap prediction (region 7) is counted once per
+    # area/maxDet combo; the ratio diagonal/total gives accuracy
+    total = sum(e.parcellation_confusion.values())
+    assert e.parcellation_confusion.get((7, 7), 0) == total and total > 0
