@@ -121,3 +121,24 @@ def test_overlap_nms_eval_variant():
     pick2 = nms_3d_overlap_numpy(dets2, 0.1)
     # big picked first; small's overlap = inter / vol(small) = 1 -> gone
     assert pick2 == [0]
+
+
+def test_pallas_kernel_matches_oracle_interpret():
+    """Pallas NMS kernel (interpreter mode on CPU) == numpy oracle."""
+    from mrcnn3d.ops.nms3d_pallas import nms_3d_mask_pallas
+
+    rng = np.random.RandomState(5)
+    dets = _random_dets(rng, 96)
+    valid = np.ones(96, bool)
+    valid[90:] = False
+    for thr in (0.3, 0.7):
+        keep = nms_3d_mask_pallas(
+            jnp.asarray(dets[:, :6]),
+            jnp.asarray(dets[:, 6]),
+            jnp.asarray(valid),
+            thr,
+            interpret=True,
+        )
+        got = set(np.flatnonzero(np.asarray(keep)).tolist())
+        want = set(nms_3d_numpy(dets[:90], thr))
+        assert got == want, thr
