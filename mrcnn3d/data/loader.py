@@ -68,16 +68,30 @@ class Prefetcher:
         self._thread.start()
 
     def _work(self):
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
+        window = self.num_workers * 2  # bounded look-ahead
         with ThreadPoolExecutor(self.num_workers) as pool:
-            futures = [
-                pool.submit(self.dataset.__getitem__, int(i))
-                for i in self.indices
-            ]
+            pending: deque = deque()
+            it = iter(self.indices)
             batch = []
-            for fut in futures:
+
+            def refill():
+                while len(pending) < window:
+                    try:
+                        i = next(it)
+                    except StopIteration:
+                        return
+                    pending.append(
+                        pool.submit(self.dataset.__getitem__, int(i))
+                    )
+
+            refill()
+            while pending:
+                fut = pending.popleft()
                 batch.append(fut.result())
+                refill()
                 if len(batch) == self.batch_size:
                     b = collate(batch)
                     if self.device_put:
