@@ -314,3 +314,38 @@ class Coco3D3ScalesDataset(Coco3D2ScalesDataset):
         sample["imgs_3"] = img3
         sample["ori_shape_3"] = ori3
         return sample
+
+
+class Coco2DDataset(Coco3DDataset):
+    """2-D images as depth-1 volumes (legacy mmdet family support).
+
+    Accepts standard COCO 4-element bboxes ([x, y, w, h] -> z extent
+    [0, 0]); image files may be (H, W) or (H, W, 3) .npy arrays (the
+    medical deployments here exchange .npy; standard jpg decoding can be
+    layered on via `load_volume`).
+    """
+
+    def _ann_arrays(self, img_id):
+        anns = self.anns_by_img.get(img_id, [])
+        boxes = []
+        for a in anns:
+            b = a["bbox"]
+            if len(b) == 4:
+                boxes.append([b[0], b[1], b[0] + b[2] - 1,
+                              b[1] + b[3] - 1, 0, 0])
+            else:
+                boxes.append(_xywhzd_to_xyxyzz(b))
+        boxes = np.array(boxes, np.float32).reshape(-1, 6)
+        labels = np.array(
+            [a.get("category_id", 1) for a in anns], np.int32
+        )
+        return anns, boxes, labels
+
+    def load_volume(self, img_info):
+        img = np.load(
+            osp.join(self.img_prefix, img_info["file_name"]),
+            allow_pickle=True,
+        )
+        if img.ndim == 3:  # (H, W, 3) RGB -> grayscale-style mean
+            img = img.mean(axis=-1)
+        return img[..., None]  # (H, W, 1) depth-1 volume

@@ -16,6 +16,13 @@ from ..models.detector import Detector3D
 _TYPES = {
     "RPN3D": dict(num_scales=1, with_bbox=False, with_mask=False),
     "MaskRCNN3DParcel": dict(num_scales=1),
+    # 2-D legacy family (reference mmdet originals): evaluated as
+    # depth-1 volumes with (1,k,k) kernels == exact 2-D convs
+    "RPN": dict(num_scales=1, with_bbox=False, with_mask=False,
+                two_d=True),
+    "FasterRCNN": dict(num_scales=1, with_mask=False, two_d=True),
+    "FastRCNN": dict(num_scales=1, with_mask=False, two_d=True),
+    "MaskRCNN": dict(num_scales=1, two_d=True),
     "FasterRCNN3D": dict(num_scales=1, with_mask=False),
     "MaskRCNN3D": dict(num_scales=1),
     "MaskRCNN3D2Scales": dict(num_scales=2, with_refinement=True),
@@ -56,9 +63,21 @@ def build_detector(cfg, dtype=jnp.float32):
     num_parcellations = bbox_head.get("num_parcellations", 0)
     if kind == "MaskRCNN3DParcel" and not num_parcellations:
         num_parcellations = 15
+    two_d = flags.pop("two_d", False)
+    base_width = m["backbone"].get(
+        "base_width", 64 if two_d else 16
+    )
+    bbox_roi = m.get("bbox_roi_extractor", {}).get("roi_layer", {})
+    mask_roi = m.get("mask_roi_extractor", {}).get("roi_layer", {})
     return Detector3D(
+        roi_size=bbox_roi.get("out_size", 7),
+        roi_size_depth=bbox_roi.get("out_size_depth", 3),
+        mask_roi_size=mask_roi.get("out_size", 14),
+        mask_roi_size_depth=mask_roi.get("out_size_depth", 10),
         depth=m["backbone"].get("depth", 50),
         backbone_type=m["backbone"].get("type", "ResNet3D"),
+        base_width=base_width,
+        two_d=two_d,
         num_parcellations=num_parcellations,
         fpn_channels=m["neck"]["out_channels"],
         num_outs=m["neck"]["num_outs"],

@@ -41,6 +41,8 @@ class Detector3D(nn.Module):
 
     depth: int = 50
     backbone_type: str = "ResNet3D"
+    base_width: int = 16
+    two_d: bool = False  # depth-1 mode: the 2-D legacy detector family
     fpn_channels: int = 64
     num_outs: int = 5
     num_classes: int = 2
@@ -54,6 +56,10 @@ class Detector3D(nn.Module):
     num_parcellations: int = 0  # >0 adds the brain-region branch
     fc_out_channels: int = 1024
     mask_convs: int = 4
+    roi_size: int = 7
+    roi_size_depth: int = 3
+    mask_roi_size: int = 14
+    mask_roi_size_depth: int = 10
     remat: bool = False
     dtype: Any = jnp.float32
 
@@ -68,7 +74,11 @@ class Detector3D(nn.Module):
             self.backbone = UNet3D(dtype=self.dtype)
         else:
             self.backbone = ResNet3D(
-                depth=self.depth, remat=self.remat, dtype=self.dtype
+                depth=self.depth,
+                base_width=self.base_width,
+                two_d=self.two_d,
+                remat=self.remat,
+                dtype=self.dtype,
             )
         self.neck = FPN3D(
             out_channels=self.fpn_channels,
@@ -149,22 +159,28 @@ class Detector3D(nn.Module):
         feats = self.extract_feat(x)
         outs = [self.rpn(feats, s) for s in range(self.num_scales)]
         extras = {}
+        bbox_dummy = jnp.zeros(
+            (1, self.roi_size_depth, self.roi_size, self.roi_size,
+             self.fpn_channels),
+            self.dtype,
+        )
+        mask_dummy = jnp.zeros(
+            (1, self.mask_roi_size_depth, self.mask_roi_size,
+             self.mask_roi_size, self.fpn_channels),
+            self.dtype,
+        )
         if self.with_bbox:
             n = 1 if self.share_heads else self.num_scales
-            dummy = jnp.zeros(
-                (1, 3, 7, 7, self.fpn_channels), self.dtype
-            )
             for s in range(n):
-                extras[f"bbox_{s}"] = self.bbox_forward(dummy, s)
+                extras[f"bbox_{s}"] = self.bbox_forward(bbox_dummy, s)
         if self.with_refinement:
-            dummy = jnp.zeros((1, 3, 7, 7, self.fpn_channels), self.dtype)
-            extras["refinement"] = self.refinement_forward(dummy)
+            extras["refinement"] = self.refinement_forward(bbox_dummy)
         if self.with_mask:
             n = 1 if self.share_heads else self.num_scales
-            dummy = jnp.zeros((1, 10, 14, 14, self.fpn_channels), self.dtype)
             for s in range(n):
-                extras[f"mask_{s}"] = self.mask_forward(dummy, s)
+                extras[f"mask_{s}"] = self.mask_forward(mask_dummy, s)
         if self.with_refinement_mask:
-            dummy = jnp.zeros((1, 10, 14, 14, self.fpn_channels), self.dtype)
-            extras["refinement_mask"] = self.refinement_mask_forward(dummy)
+            extras["refinement_mask"] = self.refinement_mask_forward(
+                mask_dummy
+            )
         return feats, outs, extras

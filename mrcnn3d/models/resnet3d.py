@@ -83,6 +83,7 @@ class Bottleneck3D(nn.Module):
     stride: int = 1
     dilation: int = 1
     with_downsample: bool = False
+    two_d: bool = False
     dtype: Any = jnp.float32
 
     expansion: int = 4
@@ -91,6 +92,10 @@ class Bottleneck3D(nn.Module):
     def __call__(self, x):
         identity = x
         s = self.stride
+        st = (1, s, s) if self.two_d else (s, s, s)
+        k3 = (1, 3, 3) if self.two_d else (3, 3, 3)
+        p3 = [(0, 0), (self.dilation, self.dilation),
+              (self.dilation, self.dilation)] if self.two_d else self.dilation
         out = nn.Conv(
             self.planes, (1, 1, 1), use_bias=False, dtype=self.dtype,
             name="conv1",
@@ -99,9 +104,9 @@ class Bottleneck3D(nn.Module):
         out = nn.relu(out)
         out = nn.Conv(
             self.planes,
-            (3, 3, 3),
-            strides=(s, s, s),
-            padding=self.dilation,
+            k3,
+            strides=st,
+            padding=p3,
             kernel_dilation=self.dilation,
             use_bias=False,
             dtype=self.dtype,
@@ -121,7 +126,7 @@ class Bottleneck3D(nn.Module):
             identity = nn.Conv(
                 self.planes * self.expansion,
                 (1, 1, 1),
-                strides=(s, s, s),
+                strides=st,
                 use_bias=False,
                 dtype=self.dtype,
                 name="downsample_conv",
@@ -137,6 +142,7 @@ class BasicBlock3D(nn.Module):
     stride: int = 1
     dilation: int = 1
     with_downsample: bool = False
+    two_d: bool = False
     dtype: Any = jnp.float32
 
     expansion: int = 1
@@ -145,11 +151,15 @@ class BasicBlock3D(nn.Module):
     def __call__(self, x):
         identity = x
         s = self.stride
+        st = (1, s, s) if self.two_d else (s, s, s)
+        k3 = (1, 3, 3) if self.two_d else (3, 3, 3)
+        p3 = [(0, 0), (self.dilation, self.dilation),
+              (self.dilation, self.dilation)] if self.two_d else self.dilation
         out = nn.Conv(
             self.planes,
-            (3, 3, 3),
-            strides=(s, s, s),
-            padding=self.dilation,
+            k3,
+            strides=st,
+            padding=p3,
             kernel_dilation=self.dilation,
             use_bias=False,
             dtype=self.dtype,
@@ -158,15 +168,15 @@ class BasicBlock3D(nn.Module):
         out = FrozenBatchNorm(dtype=self.dtype, name="bn1")(out)
         out = nn.relu(out)
         out = nn.Conv(
-            self.planes, (3, 3, 3), use_bias=False, dtype=self.dtype,
-            name="conv2",
+            self.planes, k3, padding=p3 if self.two_d else "SAME",
+            use_bias=False, dtype=self.dtype, name="conv2",
         )(out)
         out = FrozenBatchNorm(dtype=self.dtype, name="bn2")(out)
         if self.with_downsample:
             identity = nn.Conv(
                 self.planes,
                 (1, 1, 1),
-                strides=(s, s, s),
+                strides=st,
                 use_bias=False,
                 dtype=self.dtype,
                 name="downsample_conv",
@@ -211,6 +221,7 @@ class ResNet3D(nn.Module):
     out_indices: Sequence[int] = (0, 1, 2, 3)
     base_width: int = 16
     remat: bool = False
+    two_d: bool = False  # depth-1 mode: (1,k,k) kernels == exact 2-D convs
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -220,16 +231,35 @@ class ResNet3D(nn.Module):
         block_cls = Bottleneck3D if block_name == "bottleneck" else BasicBlock3D
         if self.remat:
             block_cls = nn.remat(block_cls)
+        kd = 1 if self.two_d else None  # None = isotropic 3-D
 
         x = x.astype(self.dtype)
-        x = _StemConv(
-            features=self.base_width, dtype=self.dtype, name="conv1"
-        )(x)
+        if self.two_d:
+            # (1,7,7) stride (1,2,2) stem — the standard 2-D ResNet stem
+            # evaluated on (B, 1, H, W, C) volumes (reference resnet.py)
+            x = nn.Conv(
+                self.base_width,
+                (1, 7, 7),
+                strides=(1, 2, 2),
+                padding=[(0, 0), (3, 3), (3, 3)],
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv1",
+            )(x)
+        else:
+            x = _StemConv(
+                features=self.base_width, dtype=self.dtype, name="conv1"
+            )(x)
         x = FrozenBatchNorm(dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
-        x = max_pool_3d(
-            x, (3, 3, 3), (2, 2, 2), [(1, 1), (1, 1), (1, 1)]
-        )
+        if self.two_d:
+            x = max_pool_3d(
+                x, (1, 3, 3), (1, 2, 2), [(0, 0), (1, 1), (1, 1)]
+            )
+        else:
+            x = max_pool_3d(
+                x, (3, 3, 3), (2, 2, 2), [(1, 1), (1, 1), (1, 1)]
+            )
 
         outs = []
         in_ch = self.base_width
@@ -247,6 +277,7 @@ class ResNet3D(nn.Module):
                         j == 0
                         and (stride != 1 or in_ch != planes * expansion)
                     ),
+                    two_d=self.two_d,
                     dtype=self.dtype,
                     name=f"layer{i + 1}_{j}",
                 )(x)
