@@ -119,6 +119,7 @@ class Detector3D(nn.Module):
                     num_convs=self.mask_convs,
                     conv_out_channels=self.fpn_channels,
                     num_classes=self.num_classes,
+                    two_d=self.two_d,
                     dtype=self.dtype,
                     name=f"mask_head_{s}",
                 )

@@ -110,26 +110,30 @@ class FCNMaskHead3D(nn.Module):
     conv_out_channels: int = 64
     num_classes: int = 2
     upsample_ratio: int = 2
+    two_d: bool = False  # depth-1 mode: (1,k,k) convs, (1,r,r) deconv
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         # x: (N, Dp, Hp, Wp, C)
+        k3 = (1, 3, 3) if self.two_d else (3, 3, 3)
+        p3 = [(0, 0), (1, 1), (1, 1)] if self.two_d else 1
         for i in range(self.num_convs):
             x = nn.Conv(
                 self.conv_out_channels,
-                (3, 3, 3),
-                padding=1,
+                k3,
+                padding=p3,
                 use_bias=True,
                 dtype=self.dtype,
                 name=f"conv_{i}",
             )(x)
             x = nn.relu(x)
         r = self.upsample_ratio
+        kr = (1, r, r) if self.two_d else (r, r, r)
         x = nn.ConvTranspose(
             self.conv_out_channels,
-            (r, r, r),
-            strides=(r, r, r),
+            kr,
+            strides=kr,
             dtype=self.dtype,
             name="upsample",
         )(x)

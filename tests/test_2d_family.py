@@ -131,3 +131,55 @@ def test_coco2d_dataset(tmp_path):
     np.testing.assert_allclose(
         s["gt_boxes"][0], [10, 12, 17, 20, 0, 0]
     )
+
+
+def test_mask_rcnn_2d_mask_path(cfg2d):
+    cfg = Config.fromfile("configs/faster_rcnn_2d.py")
+    cfg.model["type"] = "MaskRCNN"
+    cfg.model["backbone"]["depth"] = 18
+    cfg.model["backbone"]["base_width"] = 8
+    cfg.model["neck"]["out_channels"] = 16
+    cfg.model["bbox_head"]["fc_out_channels"] = 32
+    cfg.model["bbox_head"]["num_classes"] = 2
+    cfg.model["mask_roi_extractor"] = dict(
+        roi_layer=dict(out_size=14, out_size_depth=1, sample_num=2),
+        out_channels=16,
+        featmap_strides=[4, 8, 16, 32],
+        featmap_strides_depth=[1, 1, 1, 1],
+    )
+    cfg.model["mask_head"] = dict(num_convs=2, conv_out_channels=16,
+                                  num_classes=2)
+    for k in ("nms_pre", "nms_post", "max_num"):
+        cfg.train_cfg["rpn_proposal"][k] = 16
+    cfg.train_cfg["rcnn"]["sampler"]["num"] = 8
+    model = build_detector(cfg)
+    assert model.two_d and model.with_mask
+
+    h = w = 64
+    imgs = jnp.zeros((1, 1, h, w, 3))
+    variables = model.init(jax.random.PRNGKey(0), imgs)
+    feats = jax.eval_shape(
+        lambda v: model.apply(variables, v, method=model.extract_feat), imgs
+    )
+    aset = pl.build_anchor_set(
+        [f.shape[1:4] for f in feats], (h, w, 3, 1), anchor_cfgs(cfg)[0]
+    )
+    gtb = np.zeros((1, 2, 6), np.float32)
+    gtb[:, 0] = [10, 10, 25, 25, 0, 0]
+    gtv = np.zeros((1, 2), bool)
+    gtv[:, 0] = True
+    gtl = np.zeros((1, 2), np.int32)
+    gtl[:, 0] = 1
+    gtm = np.zeros((1, 2, 1, h, w), np.uint8)
+    gtm[:, 0, 0, 10:26, 10:26] = 1
+    batch = dict(
+        imgs=imgs,
+        gt_boxes=jnp.asarray(gtb),
+        gt_valid=jnp.asarray(gtv),
+        gt_labels=jnp.asarray(gtl),
+        gt_masks=jnp.asarray(gtm),
+    )
+    total, losses = pl.forward_train(
+        model, variables, batch, jax.random.PRNGKey(1), cfg, [aset]
+    )
+    assert "loss_mask" in losses and np.isfinite(float(total))
