@@ -55,12 +55,7 @@ def main():
 
     model = build_detector(cfg, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
-    imgs = jnp.asarray(
-        np.random.RandomState(0).randn(1, d, h, w, 3), jnp.bfloat16
-    )
-    imgs2 = jnp.asarray(
-        np.random.RandomState(1).randn(1, d2, h2, w2, 3), jnp.bfloat16
-    )
+    imgs = jnp.zeros((1, d, h, w, 3), jnp.bfloat16)
     variables = model.init(rng, imgs[:, :8, :64, :64, :])
 
     acs = anchor_cfgs(cfg)
@@ -73,21 +68,27 @@ def main():
         fs = [f.shape[1:4] for f in feats]
         sets.append(pl.build_anchor_set(fs, (hh, ww, 3, dd), ac))
 
+    # a unique key per call generates fresh on-device inputs: repeated
+    # identical executions can be served from a result cache in the
+    # remote-execution stack, which would fake the timing
     @jax.jit
-    def infer(imgs, imgs2):
+    def infer(key):
+        k1, k2 = jax.random.split(key)
+        imgs = jax.random.normal(k1, (1, d, h, w, 3), jnp.bfloat16)
+        imgs2 = jax.random.normal(k2, (1, d2, h2, w2, 3), jnp.bfloat16)
         out = pl.simple_test(
             model, variables, dict(imgs=imgs, imgs_2=imgs2), cfg, sets
         )
         return out["dets"], out["valid"]
 
     # warmup / compile
-    dets, valid = infer(imgs, imgs2)
+    dets, valid = infer(jax.random.PRNGKey(1))
     jax.block_until_ready(dets)
 
-    iters = 10
+    iters = 12
     t0 = time.perf_counter()
-    for _ in range(iters):
-        dets, valid = infer(imgs, imgs2)
+    for i in range(iters):
+        dets, valid = infer(jax.random.fold_in(jax.random.PRNGKey(2), i))
     jax.block_until_ready(dets)
     dt = (time.perf_counter() - t0) / iters
     value = 1.0 / dt  # volumes (patch pairs) per second per chip
