@@ -58,8 +58,21 @@ def compute_anchor_sets(cfg, model, variables, shapes):
     return sets
 
 
-def train_shapes(cfg):
-    """Static (d, h, w) train-crop shapes per scale from the config."""
+def train_shapes(cfg, dataset=None):
+    """Static (d, h, w) train-crop shapes per scale.
+
+    Probing one sample from the dataset is authoritative (crop size is a
+    function of the volume geometry, reference extra_aug.py:166-168:
+    H/4 x W/4 x D); the config static_shapes.crop_size is the fallback
+    when no dataset is given.
+    """
+    if dataset is not None and len(dataset) > 0:
+        probe = dataset[0]
+        shapes = [probe["imgs"].shape[:3]]
+        for key in ("imgs_2", "imgs_3"):
+            if key in probe:
+                shapes.append(probe[key].shape[:3])
+        return shapes
     ss = cfg.get("static_shapes", {})
     ch, cw, cd = ss.get("crop_size", (128, 128, 64))
     up = cfg.get("upscale_factor", 1.5)
@@ -91,7 +104,7 @@ def train_detector(cfg, dataset, work_dir=None, seed=0, validate=False,
     work_dir = work_dir or cfg.get("work_dir", "./work_dirs/default")
 
     model = build_detector(cfg)
-    shapes = train_shapes(cfg)
+    shapes = train_shapes(cfg, dataset)
     d, h, w = shapes[0]
     init_rng, rng = jax.random.split(rng)
     example = jnp.zeros((1, min(d, 8), min(h, 32), min(w, 32), 3))
