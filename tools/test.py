@@ -44,6 +44,9 @@ def main():
     from mrcnn3d.utils.config import Config
 
     cfg = Config.fromfile(args.config)
+    if "segm" in args.eval:
+        # the mask path only runs when bbox-only mode is off
+        cfg.test_cfg["return_bbox_only"] = False
     model = build_detector(cfg)
 
     te = cfg.data["test"]
@@ -73,8 +76,12 @@ def main():
     # init + restore params
     import jax
 
+    # the optimizer chain must match training exactly or the orbax
+    # opt_state tree will not restore
     sched = step_lr_schedule(1e-3, [], 100)
-    tx = make_optimizer(cfg.optimizer, None, sched)
+    tx = make_optimizer(
+        cfg.optimizer, cfg.optimizer_config.get("grad_clip"), sched
+    )
     state = create_train_state(
         model, jax.random.PRNGKey(0), jnp.zeros((1, 8, 32, 32, 3)), tx
     )
@@ -89,7 +96,9 @@ def main():
     variables = {"params": state.params}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
-    results, infos = run_inference(cfg, model, variables, dataset)
+    out = run_inference(cfg, model, variables, dataset)
+    results, infos = out[0], out[1]
+    segms = out[2] if len(out) > 2 else None
 
     if args.out:
         with open(args.out, "wb") as f:
@@ -98,8 +107,16 @@ def main():
     if "bbox" in args.eval:
         entries = results2json3d(results, infos)
         evaluator = CocoEval3D(dataset.coco, entries)
-        stats = evaluator.named_stats()
-        for k, v in stats.items():
+        for k, v in evaluator.named_stats().items():
+            print(f"{k}: {v:.4f}")
+    if "segm" in args.eval and segms is not None:
+        from mrcnn3d.eval.masks import segm_entries
+
+        entries = []
+        for cls_segms, per_class, info in zip(segms, results, infos):
+            entries.extend(segm_entries(cls_segms, per_class, info))
+        evaluator = CocoEval3D(dataset.coco, entries, iou_type="segm")
+        for k, v in evaluator.named_stats(prefix="segm").items():
             print(f"{k}: {v:.4f}")
 
 

@@ -68,7 +68,11 @@ def main():
         test_mode=True,
     )
 
-    tx = make_optimizer(cfg.optimizer, None, step_lr_schedule(1e-3, [], 100))
+    tx = make_optimizer(
+        cfg.optimizer,
+        cfg.optimizer_config.get("grad_clip"),
+        step_lr_schedule(1e-3, [], 100),
+    )
     state = create_train_state(
         model, jax.random.PRNGKey(0), jnp.zeros((1, 8, 32, 32, 3)), tx
     )
