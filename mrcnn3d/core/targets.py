@@ -478,3 +478,54 @@ def mask_target_single(
 
     targets = (acc >= 1.0 / 255.0).astype(jnp.float32)
     return jnp.where(pos_mask[:, None, None, None], targets, 0.0)
+
+
+def anchor_target_focal_single(
+    anchors,
+    inside,
+    gt_boxes,
+    gt_valid,
+    gt_labels,
+    cfg,
+    target_means,
+    target_stds,
+):
+    """Anchor targets for focal-loss single-stage heads (no sampling —
+    the reference uses PseudoSampler when use_focal_loss, anchor_head
+    path): every assigned anchor contributes; labels carry the gt class.
+
+    Returns labels (A,) int32 (0 bg, c fg), label_weights (A,),
+    bbox_targets/weights (A, 6), num_pos scalar (>= 1).
+    """
+    assigner = cfg["assigner"]
+    assigned, _, argmax = max_iou_assign(
+        anchors,
+        inside,
+        gt_boxes,
+        gt_valid,
+        assigner["pos_iou_thr"],
+        assigner["neg_iou_thr"],
+        assigner["min_pos_iou"],
+    )
+    is_pos = assigned > 0
+    is_neg = assigned == 0
+    gt_idx = jnp.maximum(assigned - 1, 0)
+    labels = jnp.where(is_pos, gt_labels[gt_idx], 0).astype(jnp.int32)
+    pw = float(cfg.get("pos_weight", -1))
+    pos_label_w = 1.0 if pw <= 0 else pw
+    label_weights = jnp.where(
+        is_pos, pos_label_w, jnp.where(is_neg, 1.0, 0.0)
+    )
+    deltas = bbox2delta3d(
+        anchors, gt_boxes[gt_idx], target_means, target_stds
+    )
+    bbox_targets = jnp.where(is_pos[:, None], deltas, 0.0)
+    bbox_weights = jnp.where(is_pos[:, None], 1.0, 0.0)
+    num_pos = jnp.maximum(jnp.sum(is_pos), 1)
+    return dict(
+        labels=labels,
+        label_weights=label_weights,
+        bbox_targets=bbox_targets,
+        bbox_weights=bbox_weights,
+        num_pos=num_pos,
+    )

@@ -23,6 +23,10 @@ _TYPES = {
     "FasterRCNN": dict(num_scales=1, with_mask=False, two_d=True),
     "FastRCNN": dict(num_scales=1, with_mask=False, two_d=True),
     "MaskRCNN": dict(num_scales=1, two_d=True),
+    "RetinaNet": dict(num_scales=1, with_bbox=False, with_mask=False,
+                      single_stage=True, two_d=True),
+    "RetinaNet3D": dict(num_scales=1, with_bbox=False, with_mask=False,
+                        single_stage=True),
     "FasterRCNN3D": dict(num_scales=1, with_mask=False),
     "MaskRCNN3D": dict(num_scales=1),
     "MaskRCNN3D2Scales": dict(num_scales=2, with_refinement=True),
@@ -64,6 +68,7 @@ def build_detector(cfg, dtype=jnp.float32):
     if kind == "MaskRCNN3DParcel" and not num_parcellations:
         num_parcellations = 15
     two_d = flags.pop("two_d", False)
+    single_stage = flags.pop("single_stage", False)
     base_width = m["backbone"].get(
         "base_width", 64 if two_d else 16
     )
@@ -78,6 +83,7 @@ def build_detector(cfg, dtype=jnp.float32):
         backbone_type=m["backbone"].get("type", "ResNet3D"),
         base_width=base_width,
         two_d=two_d,
+        single_stage=single_stage,
         num_parcellations=num_parcellations,
         fpn_channels=m["neck"]["out_channels"],
         num_outs=m["neck"]["num_outs"],

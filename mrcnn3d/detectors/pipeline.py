@@ -30,6 +30,7 @@ import numpy as np
 from ..core.anchors import AnchorGenerator3D, anchor_inside_flags
 from ..core.post import multiclass_nms_3d
 from ..core.targets import (
+    anchor_target_focal_single,
     anchor_target_single,
     mask_target_single,
     sample_rcnn_single,
@@ -37,9 +38,11 @@ from ..core.targets import (
 from ..ops.box3d import delta2bbox3d
 from ..ops.losses import (
     accuracy,
+    expand_binary_labels,
     mask_cross_entropy,
     weighted_binary_cross_entropy,
     weighted_cross_entropy,
+    weighted_sigmoid_focal_loss,
     weighted_smoothl1,
 )
 from ..ops.nms3d import nms_3d
@@ -203,6 +206,105 @@ def rpn_loss(
     return {f"loss_rpn_cls{suffix}": loss_cls, f"loss_rpn_reg{suffix}": loss_reg}
 
 
+def single_stage_loss(
+    cls_outs,
+    reg_outs,
+    anchor_set,
+    gt_boxes,
+    gt_valid,
+    gt_labels,
+    cfg_ss,
+    num_classes,
+):
+    """Focal-loss single-stage head loss (reference anchor_head.py focal
+    path + retina_head.py): no sampling, every assigned anchor counts,
+    avg_factor = total positives.
+
+    cls_outs[l]: (B, d, h, w, A*(C-1)); reg_outs[l]: (B, d, h, w, A*6).
+    """
+    b = cls_outs[0].shape[0]
+    c_out = num_classes - 1
+    cls_flat = jnp.concatenate(
+        [c.reshape(b, -1, c_out) for c in cls_outs], axis=1
+    )
+    reg_flat = jnp.concatenate(
+        [r.reshape(b, -1, 6) for r in reg_outs], axis=1
+    )
+    anchors = jnp.asarray(np.concatenate(anchor_set.anchors, axis=0))
+    inside = jnp.asarray(np.concatenate(anchor_set.inside, axis=0))
+
+    tgt = jax.vmap(
+        lambda gb, gv, gl: anchor_target_focal_single(
+            anchors, inside, gb, gv, gl, cfg_ss, RPN_MEANS, RPN_STDS
+        )
+    )(gt_boxes, gt_valid, gt_labels)
+
+    num_pos = jnp.sum(tgt["num_pos"]).astype(jnp.float32)
+    labels = tgt["labels"].reshape(-1)
+    weights = tgt["label_weights"].reshape(-1)
+    bin_labels, bin_w = expand_binary_labels(labels, weights, c_out)
+    loss_cls = weighted_sigmoid_focal_loss(
+        cls_flat.reshape(-1, c_out),
+        bin_labels,
+        weights[:, None],
+        num_pos,
+        gamma=cfg_ss.get("gamma", 2.0),
+        alpha=cfg_ss.get("alpha", 0.25),
+    )
+    loss_reg = weighted_smoothl1(
+        reg_flat.reshape(-1, 6),
+        tgt["bbox_targets"].reshape(-1, 6),
+        tgt["bbox_weights"].reshape(-1, tgt["bbox_weights"].shape[-1]),
+        cfg_ss.get("smoothl1_beta", 1.0 / 9.0),
+        num_pos,
+    )
+    return {"loss_cls": loss_cls, "loss_reg": loss_reg}
+
+
+def single_stage_test_single(
+    cls_list, reg_list, anchor_set, img_shape, cfg, num_classes
+):
+    """RetinaNet-style decode: per-level top-k by best class score,
+    decode, then multi-class NMS across levels."""
+    nms_pre = cfg["rpn"]["nms_pre"] if "rpn" in cfg else 1000
+    rcnn = cfg["rcnn"]
+    c_out = num_classes - 1
+    lvl_boxes, lvl_scores, lvl_valid = [], [], []
+    for lvl in range(len(cls_list)):
+        scores = jax.nn.sigmoid(cls_list[lvl].reshape(-1, c_out))
+        deltas = reg_list[lvl].reshape(-1, 6)
+        anchors = jnp.asarray(anchor_set.anchors[lvl])
+        n = scores.shape[0]
+        if n > nms_pre:
+            best = scores.max(axis=1)
+            top_s, top_i = jax.lax.top_k(best, nms_pre)
+            anchors = anchors[top_i]
+            deltas = deltas[top_i]
+            scores = scores[top_i]
+            valid = jnp.ones((nms_pre,), bool)
+        else:
+            valid = jnp.ones((n,), bool)
+        boxes = delta2bbox3d(anchors, deltas, RPN_MEANS, RPN_STDS, img_shape)
+        lvl_boxes.append(boxes)
+        lvl_scores.append(scores)
+        lvl_valid.append(valid)
+    boxes = jnp.concatenate(lvl_boxes, axis=0)
+    scores = jnp.concatenate(lvl_scores, axis=0)
+    valid = jnp.concatenate(lvl_valid, axis=0)
+    # background column 0 then per-class sigmoid scores
+    multi_scores = jnp.concatenate(
+        [jnp.zeros((scores.shape[0], 1), scores.dtype), scores], axis=1
+    )
+    return multiclass_nms_3d(
+        boxes,
+        multi_scores,
+        valid,
+        rcnn["score_thr"],
+        rcnn["nms"]["iou_thr"],
+        rcnn["max_per_img"],
+    )
+
+
 def flat_rois(boxes, valid=None):
     """(B, R, 6) -> (B*R, 7) [batch, x1..z2] (reference bbox2roi3D)."""
     b, r, _ = boxes.shape
@@ -281,7 +383,7 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
     Returns (total_loss, loss_dict).
     """
     train_cfg = cfg.train_cfg
-    rcnn_cfg = train_cfg["rcnn"]
+    rcnn_cfg = train_cfg.get("rcnn", {})
     num_classes = model.num_classes
     apply = functools.partial(model.apply, variables)
 
@@ -308,6 +410,22 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
         rpn_outs = apply(feats, s, method=model.rpn)
         cls_outs = [o[0] for o in rpn_outs]
         reg_outs = [o[1] for o in rpn_outs]
+
+        if model.single_stage:
+            losses.update(
+                single_stage_loss(
+                    cls_outs,
+                    reg_outs,
+                    anchor_sets[s],
+                    gtb,
+                    gtv,
+                    gtl,
+                    train_cfg["rpn"],
+                    model.num_classes,
+                )
+            )
+            feats_s.append(feats)
+            continue
 
         losses.update(
             rpn_loss(
@@ -361,7 +479,7 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
         props_s.append((pboxes, pscores, pvalid))
         samples_s.append(samples)
 
-    if not model.with_bbox:
+    if not model.with_bbox or model.single_stage:
         total = sum(v for k, v in losses.items() if "loss" in k)
         return total, losses
 
@@ -617,9 +735,26 @@ def simple_test(
     rcnn_test = test_cfg["rcnn"]
     num_classes = model.num_classes
     apply = functools.partial(model.apply, variables)
-    roi_cfg = cfg.model["bbox_roi_extractor"]
+    roi_cfg = cfg.model.get("bbox_roi_extractor")
     upscale = cfg.get("upscale_factor", 1.5)
     suffixes = ["", "_2", "_3"][: model.num_scales]
+
+    if model.single_stage:
+        imgs = batch["imgs"]
+        img_shape = (imgs.shape[2], imgs.shape[3], 3, imgs.shape[1])
+        feats = apply(imgs, method=model.extract_feat)
+        rpn_outs = apply(feats, 0, method=model.rpn)
+        cls_outs = [o[0] for o in rpn_outs]
+        reg_outs = [o[1] for o in rpn_outs]
+
+        def one(cls_i, reg_i):
+            return single_stage_test_single(
+                cls_i, reg_i, anchor_sets[0], img_shape, test_cfg,
+                model.num_classes,
+            )
+
+        dets, labels, dvalid, _ = jax.vmap(one)(cls_outs, reg_outs)
+        return dict(dets=dets, labels=labels, valid=dvalid)
 
     if not model.with_bbox:
         # RPN-only inference: proposals ARE the detections (reference

@@ -29,6 +29,7 @@ from flax import linen as nn
 from .fpn3d import FPN3D
 from .heads import (
     FCNMaskHead3D,
+    RetinaHead3D,
     RPNHead3D,
     SharedFCBBoxHead3D,
     SharedFCBBoxHead3DRefinement,
@@ -54,6 +55,8 @@ class Detector3D(nn.Module):
     with_refinement: bool = False
     with_refinement_mask: bool = False
     num_parcellations: int = 0  # >0 adds the brain-region branch
+    single_stage: bool = False  # RetinaNet-style head (focal loss, no RCNN)
+    stacked_convs: int = 4
     fc_out_channels: int = 1024
     mask_convs: int = 4
     roi_size: int = 7
@@ -85,15 +88,29 @@ class Detector3D(nn.Module):
             num_outs=self.num_outs,
             dtype=self.dtype,
         )
-        self.rpn_heads = [
-            RPNHead3D(
-                feat_channels=self.fpn_channels,
-                num_anchors=self.num_anchors,
-                dtype=self.dtype,
-                name=f"rpn_head_{s}",
-            )
-            for s in range(self.num_scales)
-        ]
+        if self.single_stage:
+            self.rpn_heads = [
+                RetinaHead3D(
+                    feat_channels=self.fpn_channels,
+                    stacked_convs=self.stacked_convs,
+                    num_anchors=self.num_anchors,
+                    cls_out_channels=self.num_classes - 1,
+                    two_d=self.two_d,
+                    dtype=self.dtype,
+                    name=f"rpn_head_{s}",
+                )
+                for s in range(self.num_scales)
+            ]
+        else:
+            self.rpn_heads = [
+                RPNHead3D(
+                    feat_channels=self.fpn_channels,
+                    num_anchors=self.num_anchors,
+                    dtype=self.dtype,
+                    name=f"rpn_head_{s}",
+                )
+                for s in range(self.num_scales)
+            ]
         if self.with_bbox:
             n_bbox_heads = 1 if self.share_heads else self.num_scales
             self.bbox_heads = [

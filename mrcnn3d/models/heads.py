@@ -143,3 +143,40 @@ class FCNMaskHead3D(nn.Module):
         )(x)
         # (N, Dm, Hm, Wm, num_classes) -> (N, num_classes, Dm, Hm, Wm)
         return jnp.moveaxis(logits, -1, 1)
+
+
+class RetinaHead3D(nn.Module):
+    """Single-stage anchor head (reference retina_head.py, lifted to 6-DoF):
+    4-conv cls/reg towers + per-anchor class-aware sigmoid logits."""
+
+    feat_channels: int = 64
+    stacked_convs: int = 4
+    num_anchors: int = 1
+    cls_out_channels: int = 1  # num_classes - 1 (sigmoid, focal loss)
+    two_d: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k3 = (1, 3, 3) if self.two_d else (3, 3, 3)
+        p3 = [(0, 0), (1, 1), (1, 1)] if self.two_d else 1
+        c = x
+        r = x
+        for i in range(self.stacked_convs):
+            c = nn.relu(
+                nn.Conv(self.feat_channels, k3, padding=p3,
+                        dtype=self.dtype, name=f"cls_conv_{i}")(c)
+            )
+            r = nn.relu(
+                nn.Conv(self.feat_channels, k3, padding=p3,
+                        dtype=self.dtype, name=f"reg_conv_{i}")(r)
+            )
+        cls = nn.Conv(
+            self.num_anchors * self.cls_out_channels, k3, padding=p3,
+            dtype=self.dtype, name="retina_cls",
+        )(c)
+        reg = nn.Conv(
+            self.num_anchors * 6, k3, padding=p3, dtype=self.dtype,
+            name="retina_reg",
+        )(r)
+        return cls, reg

@@ -113,3 +113,42 @@ def test_rpn_only():
     v = np.asarray(out["valid"])
     s = np.asarray(out["dets"])[..., 6]
     assert ((s[v] >= 0) & (s[v] <= 1)).all()
+
+
+def test_retinanet_3d_single_stage():
+    cfg = Config.fromfile("configs/retinanet_3d.py")
+    cfg.model["backbone"]["depth"] = 18
+    cfg.test_cfg["rpn"]["nms_pre"] = 64
+    cfg.test_cfg["rcnn"]["max_per_img"] = 16
+    model = build_detector(cfg)
+    assert model.single_stage and model.num_anchors == 2
+
+    d, h, w = 8, 32, 32
+    imgs = jnp.zeros((1, d, h, w, 3))
+    variables = model.init(jax.random.PRNGKey(0), imgs)
+    feats = jax.eval_shape(
+        lambda v: model.apply(variables, v, method=model.extract_feat), imgs
+    )
+    aset = pl.build_anchor_set(
+        [f.shape[1:4] for f in feats], (h, w, 3, d),
+        anchor_cfgs(cfg)[0], allowed_border=-1,
+    )
+    gtb = np.zeros((1, 3, 6), np.float32)
+    gtb[:, 0] = [4, 4, 14, 14, 1, 5]
+    gtv = np.zeros((1, 3), bool)
+    gtv[:, 0] = True
+    gtl = np.zeros((1, 3), np.int32)
+    gtl[:, 0] = 1
+    batch = dict(
+        imgs=imgs,
+        gt_boxes=jnp.asarray(gtb),
+        gt_valid=jnp.asarray(gtv),
+        gt_labels=jnp.asarray(gtl),
+    )
+    total, losses = pl.forward_train(
+        model, variables, batch, jax.random.PRNGKey(1), cfg, [aset]
+    )
+    assert set(k for k in losses) == {"loss_cls", "loss_reg"}
+    assert np.isfinite(float(total))
+    out = pl.simple_test(model, variables, batch, cfg, [aset])
+    assert out["dets"].shape == (1, 16, 7)
