@@ -25,7 +25,7 @@ import os.path as osp
 
 import numpy as np
 
-from .random_crop3d import RandomCrop3D
+from .random_crop3d import ExtraAugmentation3D
 from .transforms import normalize_volume, pad_gt, pad_to_divisor
 
 
@@ -57,13 +57,12 @@ class Coco3DDataset:
         self.max_gt = max_gt
         self.rng = np.random.RandomState(seed)
         self.crop = None
-        if extra_aug and "random_crop_3d" in extra_aug:
-            self.crop = RandomCrop3D(
-                **{
-                    k: v
-                    for k, v in extra_aug["random_crop_3d"].items()
-                    if k in ("min_ious", "min_crop_size")
-                },
+        if extra_aug:
+            self.crop = ExtraAugmentation3D(
+                photo_metric_distortion=extra_aug.get(
+                    "photo_metric_distortion"
+                ),
+                random_crop_3d=extra_aug.get("random_crop_3d"),
                 rng=self.rng,
             )
         self._load(ann_file)

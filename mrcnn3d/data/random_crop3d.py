@@ -97,3 +97,52 @@ class RandomCrop3D:
                     if keep
                 ]
             return img_out, final_boxes, final_labels, masks_out
+
+
+class PhotoMetricDistortion3D:
+    """Brightness/contrast jitter for volumes (reference extra_aug.py
+    PhotoMetricDistortion, reduced to the intensity ops that are
+    meaningful for single-channel medical volumes — saturation/hue assume
+    natural-image color)."""
+
+    def __init__(self, brightness_delta=32, contrast_range=(0.5, 1.5),
+                 rng=None):
+        self.brightness_delta = brightness_delta
+        self.contrast_lower, self.contrast_upper = contrast_range
+        self.rng = rng or np.random.RandomState()
+
+    def __call__(self, img, boxes, labels, masks=None):
+        img = img.astype(np.float32)
+        if self.rng.randint(2):
+            img = img + self.rng.uniform(
+                -self.brightness_delta, self.brightness_delta
+            )
+        if self.rng.randint(2):
+            img = img * self.rng.uniform(
+                self.contrast_lower, self.contrast_upper
+            )
+        return img, boxes, labels, masks
+
+
+class ExtraAugmentation3D:
+    """Compose extra augmentations (reference extra_aug.py:216-237)."""
+
+    def __init__(self, photo_metric_distortion=None, random_crop_3d=None,
+                 rng=None):
+        self.transforms = []
+        if photo_metric_distortion is not None:
+            self.transforms.append(
+                PhotoMetricDistortion3D(**photo_metric_distortion, rng=rng)
+            )
+        if random_crop_3d is not None:
+            kwargs = {
+                k: v
+                for k, v in random_crop_3d.items()
+                if k in ("min_ious", "min_crop_size")
+            }
+            self.transforms.append(RandomCrop3D(**kwargs, rng=rng))
+
+    def __call__(self, img, boxes, labels, masks=None):
+        for t in self.transforms:
+            img, boxes, labels, masks = t(img, boxes, labels, masks)
+        return img, boxes, labels, masks
