@@ -27,6 +27,9 @@ _TYPES = {
                       single_stage=True, two_d=True),
     "RetinaNet3D": dict(num_scales=1, with_bbox=False, with_mask=False,
                         single_stage=True),
+    "CascadeRCNN": dict(num_scales=1, with_mask=False, two_d=True,
+                        cascade=True),
+    "CascadeRCNN3D": dict(num_scales=1, with_mask=False, cascade=True),
     "FasterRCNN3D": dict(num_scales=1, with_mask=False),
     "MaskRCNN3D": dict(num_scales=1),
     "MaskRCNN3D2Scales": dict(num_scales=2, with_refinement=True),
@@ -69,6 +72,11 @@ def build_detector(cfg, dtype=jnp.float32):
         num_parcellations = 15
     two_d = flags.pop("two_d", False)
     single_stage = flags.pop("single_stage", False)
+    cascade = flags.pop("cascade", False)
+    cascade_stages = 0
+    if cascade:
+        rcnn = cfg.train_cfg.get("rcnn") if "train_cfg" in cfg else None
+        cascade_stages = len(rcnn) if isinstance(rcnn, (list, tuple)) else 3
     base_width = m["backbone"].get(
         "base_width", 64 if two_d else 16
     )
@@ -84,6 +92,7 @@ def build_detector(cfg, dtype=jnp.float32):
         base_width=base_width,
         two_d=two_d,
         single_stage=single_stage,
+        cascade_stages=cascade_stages,
         num_parcellations=num_parcellations,
         fpn_channels=m["neck"]["out_channels"],
         num_outs=m["neck"]["num_outs"],

@@ -382,6 +382,10 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
 
     Returns (total_loss, loss_dict).
     """
+    if getattr(model, "cascade_stages", 0) > 0:
+        return cascade_forward_train(
+            model, variables, batch, rng, cfg, anchor_sets
+        )
     train_cfg = cfg.train_cfg
     rcnn_cfg = train_cfg.get("rcnn", {})
     num_classes = model.num_classes
@@ -731,6 +735,8 @@ def simple_test(
     valid (B, max_per_img) in the 1.0x (original) coordinate frame when
     rescale=True.
     """
+    if getattr(model, "cascade_stages", 0) > 0:
+        return cascade_simple_test(model, variables, batch, cfg, anchor_sets)
     test_cfg = cfg.test_cfg
     rcnn_test = test_cfg["rcnn"]
     num_classes = model.num_classes
@@ -898,3 +904,149 @@ def bbox2result3d(dets, labels, valid, num_classes):
     return [
         dets[valid & (labels == c)] for c in range(num_classes - 1)
     ]
+
+
+# ---------------------------------------------------------------------------
+# Cascade R-CNN (reference mmdet/models/detectors/cascade_rcnn.py, lifted
+# to 6-DoF): iterative bbox heads at increasing IoU thresholds, each
+# stage re-assigning/sampling against the previous stage's decoded boxes.
+# Regression is class-agnostic per stage; test-time scores average the
+# per-stage classifiers on the final boxes.
+# ---------------------------------------------------------------------------
+
+
+def cascade_forward_train(model, variables, batch, rng, cfg, anchor_sets):
+    """Training losses for CascadeRCNN(3D)."""
+    train_cfg = cfg.train_cfg
+    num_classes = model.num_classes
+    apply = functools.partial(model.apply, variables)
+    rcnn_cfgs = train_cfg["rcnn"]
+    if not isinstance(rcnn_cfgs, (list, tuple)):
+        rcnn_cfgs = [rcnn_cfgs] * model.cascade_stages
+    stage_weights = cfg.get(
+        "stage_loss_weights", [1.0, 0.5, 0.25][: model.cascade_stages]
+    )
+    means = tuple(cfg.model["bbox_head"]["target_means"])
+    stds = tuple(cfg.model["bbox_head"]["target_stds"])
+
+    imgs = batch["imgs"]
+    b = imgs.shape[0]
+    img_shape = (imgs.shape[2], imgs.shape[3], 3, imgs.shape[1])
+    gtb, gtv, gtl = (
+        batch["gt_boxes"],
+        batch["gt_valid"],
+        batch["gt_labels"],
+    )
+
+    losses = {}
+    rngs = jax.random.split(rng, 2 + model.cascade_stages)
+    feats = apply(imgs, method=model.extract_feat)
+    rpn_outs = apply(feats, 0, method=model.rpn)
+    cls_outs = [o[0] for o in rpn_outs]
+    reg_outs = [o[1] for o in rpn_outs]
+    losses.update(
+        rpn_loss(
+            cls_outs, reg_outs, anchor_sets[0], gtb, gtv, rngs[0],
+            train_cfg["rpn"],
+        )
+    )
+    pboxes, pscores, pvalid = gen_proposals(
+        cls_outs, reg_outs, anchor_sets[0], img_shape,
+        train_cfg["rpn_proposal"],
+    )
+    pboxes = jax.lax.stop_gradient(pboxes)
+    roi_cfg = cfg.model["bbox_roi_extractor"]
+
+    for t, rc in enumerate(rcnn_cfgs[: model.cascade_stages]):
+        keys = jax.random.split(rngs[2 + t], b)
+        samples = jax.vmap(
+            lambda k, pb, pv, gb, gv, gl: sample_rcnn_single(
+                k, pb, pv, gb, gv, gl, rc, means, stds,
+                num_classes=num_classes, reg_class_agnostic=True,
+            )
+        )(keys, pboxes, pvalid, gtb, gtv, gtl)
+        rois, rvalid = flat_rois(samples.rois, samples.roi_valid)
+        roi_feats = _roi_align_cfg(feats, rois, roi_cfg, rvalid)
+        cls_score, bbox_pred = apply(roi_feats, t, method=model.bbox_forward)
+
+        labels = samples.labels.reshape(-1)
+        roi_valid = samples.roi_valid.reshape(-1)
+        is_pos = samples.is_pos.reshape(-1)
+        pw = float(rc.get("pos_weight", -1))
+        pw = 1.0 if pw <= 0 else pw
+        lw = jnp.where(roi_valid, jnp.where(is_pos, pw, 1.0), 0.0)
+        avg_cls = jnp.maximum(jnp.sum(lw > 0), 1.0)
+        w = float(stage_weights[t])
+        losses[f"s{t}.loss_cls"] = w * weighted_cross_entropy(
+            cls_score, labels, lw, avg_cls
+        )
+        avg_reg = (
+            jnp.sum(samples.pos_count) + jnp.sum(samples.neg_count)
+        ).astype(jnp.float32)
+        losses[f"s{t}.loss_reg"] = w * weighted_smoothl1(
+            bbox_pred,
+            samples.bbox_targets.reshape(-1, 6),
+            jnp.where(is_pos[:, None], 1.0, 0.0),
+            1.0,
+            avg_reg,
+        )
+
+        # next stage proposals: decoded class-agnostic boxes (detached)
+        decoded = delta2bbox3d(
+            rois[:, 1:],
+            jax.lax.stop_gradient(bbox_pred),
+            means,
+            stds,
+            img_shape,
+        )
+        pboxes = decoded.reshape(b, -1, 6)
+        pvalid = samples.roi_valid
+
+    total = sum(v for k, v in losses.items() if "loss" in k)
+    return total, losses
+
+
+def cascade_simple_test(model, variables, batch, cfg, anchor_sets):
+    """Inference for CascadeRCNN(3D): iterate heads, average stage scores."""
+    test_cfg = cfg.test_cfg
+    rcnn_test = test_cfg["rcnn"]
+    apply = functools.partial(model.apply, variables)
+    means = tuple(cfg.model["bbox_head"]["target_means"])
+    stds = tuple(cfg.model["bbox_head"]["target_stds"])
+    roi_cfg = cfg.model["bbox_roi_extractor"]
+
+    imgs = batch["imgs"]
+    b = imgs.shape[0]
+    img_shape = (imgs.shape[2], imgs.shape[3], 3, imgs.shape[1])
+    feats = apply(imgs, method=model.extract_feat)
+    rpn_outs = apply(feats, 0, method=model.rpn)
+    pboxes, pscores, pvalid = gen_proposals(
+        [o[0] for o in rpn_outs],
+        [o[1] for o in rpn_outs],
+        anchor_sets[0],
+        img_shape,
+        test_cfg["rpn"],
+    )
+    boxes = pboxes
+    score_sum = None
+    for t in range(model.cascade_stages):
+        rois, rvalid = flat_rois(boxes, pvalid)
+        roi_feats = _roi_align_cfg(feats, rois, roi_cfg, rvalid)
+        cls_score, bbox_pred = apply(roi_feats, t, method=model.bbox_forward)
+        sc = jax.nn.softmax(cls_score, axis=-1)
+        score_sum = sc if score_sum is None else score_sum + sc
+        decoded = delta2bbox3d(rois[:, 1:], bbox_pred, means, stds, img_shape)
+        boxes = decoded.reshape(b, -1, 6)
+    m = boxes.shape[1]
+    scores = (score_sum / model.cascade_stages).reshape(b, m, -1)
+
+    def nms_one(bx, sc, vd):
+        return multiclass_nms_3d(
+            bx, sc, vd,
+            rcnn_test["score_thr"],
+            rcnn_test["nms"]["iou_thr"],
+            rcnn_test["max_per_img"],
+        )
+
+    dets, labels, dvalid, _ = jax.vmap(nms_one)(boxes, scores, pvalid)
+    return dict(dets=dets, labels=labels, valid=dvalid)

@@ -56,6 +56,7 @@ class Detector3D(nn.Module):
     with_refinement_mask: bool = False
     num_parcellations: int = 0  # >0 adds the brain-region branch
     single_stage: bool = False  # RetinaNet-style head (focal loss, no RCNN)
+    cascade_stages: int = 0  # >0: Cascade R-CNN iterative bbox heads
     stacked_convs: int = 4
     fc_out_channels: int = 1024
     mask_convs: int = 4
@@ -112,11 +113,19 @@ class Detector3D(nn.Module):
                 for s in range(self.num_scales)
             ]
         if self.with_bbox:
-            n_bbox_heads = 1 if self.share_heads else self.num_scales
+            if self.cascade_stages > 0:
+                # one class-agnostic-regression head per cascade stage
+                # (reference cascade_rcnn.py convention)
+                n_bbox_heads = self.cascade_stages
+                reg_agnostic = True
+            else:
+                n_bbox_heads = 1 if self.share_heads else self.num_scales
+                reg_agnostic = False
             self.bbox_heads = [
                 SharedFCBBoxHead3D(
                     fc_out_channels=self.fc_out_channels,
                     num_classes=self.num_classes,
+                    reg_class_agnostic=reg_agnostic,
                     num_parcellations=self.num_parcellations,
                     dtype=self.dtype,
                     name=f"bbox_head_{s}",
@@ -159,7 +168,10 @@ class Detector3D(nn.Module):
         return tuple(head(f) for f in feats)
 
     def bbox_forward(self, roi_feats, scale: int = 0):
-        head = self.bbox_heads[0 if self.share_heads else scale]
+        if self.cascade_stages > 0:
+            head = self.bbox_heads[scale]  # scale == cascade stage
+        else:
+            head = self.bbox_heads[0 if self.share_heads else scale]
         return head(roi_feats)
 
     def refinement_forward(self, roi_feats):
@@ -188,7 +200,11 @@ class Detector3D(nn.Module):
             self.dtype,
         )
         if self.with_bbox:
-            n = 1 if self.share_heads else self.num_scales
+            n = (
+                self.cascade_stages
+                if self.cascade_stages > 0
+                else (1 if self.share_heads else self.num_scales)
+            )
             for s in range(n):
                 extras[f"bbox_{s}"] = self.bbox_forward(bbox_dummy, s)
         if self.with_refinement:

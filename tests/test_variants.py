@@ -152,3 +152,30 @@ def test_retinanet_3d_single_stage():
     assert np.isfinite(float(total))
     out = pl.simple_test(model, variables, batch, cfg, [aset])
     assert out["dets"].shape == (1, 16, 7)
+
+
+def test_cascade_rcnn_3d():
+    cfg = _tiny_cfg("FasterRCNN3D")
+    cfg.model["type"] = "CascadeRCNN3D"
+    # per-stage rcnn configs at increasing IoU (cascade convention)
+    base = dict(cfg.train_cfg["rcnn"])
+    stages = []
+    for thr in (0.4, 0.5, 0.6):
+        st = dict(base)
+        st["assigner"] = dict(base["assigner"])
+        st["assigner"]["pos_iou_thr"] = thr
+        st["assigner"]["neg_iou_thr"] = thr
+        st["assigner"]["min_pos_iou"] = thr
+        stages.append(st)
+    cfg.train_cfg["rcnn"] = stages
+    model, variables, sets, batch = _setup(cfg)
+    assert model.cascade_stages == 3
+    total, losses = pl.forward_train(
+        model, variables, batch, jax.random.PRNGKey(1), cfg, sets
+    )
+    keys = {k for k in losses if "loss" in k}
+    assert {"s0.loss_cls", "s1.loss_cls", "s2.loss_cls",
+            "s0.loss_reg"} <= keys
+    assert np.isfinite(float(total))
+    out = pl.simple_test(model, variables, batch, cfg, sets)
+    assert out["dets"].shape == (1, 8, 7)
