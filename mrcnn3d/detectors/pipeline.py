@@ -396,7 +396,7 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
     rngs = jax.random.split(rng, 8)
 
     losses = {}
-    feats_s, props_s, samples_s = [], [], []
+    feats_s, samples_s = [], []
     for s in scales:
         sfx = suffixes[s]
         imgs = batch["imgs" + sfx]
@@ -480,7 +480,6 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
         )(keys, pboxes, pvalid, gtb, gtv, gtl, pscores)
 
         feats_s.append(feats)
-        props_s.append((pboxes, pscores, pvalid))
         samples_s.append(samples)
 
     if not model.with_bbox or model.single_stage:
@@ -490,7 +489,6 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
     # ---- shared bbox head over all scales (reference :239-257) ----
     roi_cfg = cfg.model["bbox_roi_extractor"]
     cls_all, pred_all, parcel_all = [], [], []
-    roi_feats_s = []
     for s in scales:
         rois, rvalid = flat_rois(
             samples_s[s].rois, samples_s[s].roi_valid
@@ -505,7 +503,6 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
             roi_cfg["roi_layer"]["sample_num"],
             valid=rvalid,
         )
-        roi_feats_s.append(roi_feats)
         out = apply(roi_feats, s, method=model.bbox_forward)
         cls_all.append(out[0])
         pred_all.append(out[1])

@@ -79,3 +79,38 @@ class TestBackbones:
         # strides xy {4,8,16,32}, depth {2,4,8,16}; widths 32..256
         assert outs[0].shape == (1, 4, 8, 8, 32)
         assert outs[3].shape == (1, 1, 1, 1, 256)
+
+
+class TestVocMap:
+    def test_perfect(self):
+        from mrcnn3d.eval.mean_ap import eval_map_3d
+
+        gts = [np.array([[10, 10, 20, 20, 2, 8]], np.float32)]
+        dets = [np.array([[10, 10, 20, 20, 2, 8, 0.9]], np.float32)]
+        ap, r, p = eval_map_3d(dets, gts)
+        assert ap == 1.0
+
+    def test_fp_before_tp(self):
+        from mrcnn3d.eval.mean_ap import eval_map_3d
+
+        gts = [np.array([[10, 10, 20, 20, 2, 8]], np.float32)]
+        dets = [
+            np.array(
+                [
+                    [100, 100, 110, 110, 0, 4, 0.95],
+                    [10, 10, 20, 20, 2, 8, 0.9],
+                ],
+                np.float32,
+            )
+        ]
+        ap, r, p = eval_map_3d(dets, gts)
+        # recall 1 at precision 0.5 -> continuous AP 0.5
+        assert abs(ap - 0.5) < 1e-6
+
+    def test_11point_mode(self):
+        from mrcnn3d.eval.mean_ap import eval_map_3d
+
+        gts = [np.array([[10, 10, 20, 20, 2, 8]], np.float32)]
+        dets = [np.array([[10, 10, 20, 20, 2, 8, 0.9]], np.float32)]
+        ap, _, _ = eval_map_3d(dets, gts, mode="11points")
+        assert abs(ap - 1.0) < 1e-6
