@@ -285,3 +285,50 @@ class TestMaskTarget:
             4,
         )
         assert np.asarray(t).sum() == 0
+
+
+class TestHardNegativeSampler:
+    def test_ranked_negatives(self):
+        from mrcnn3d.core.targets import hard_negative_sample
+
+        assigned = jnp.asarray([1, 0, 0, 0, 0, -1], jnp.int32)
+        scores = jnp.asarray([0.9, 0.1, 0.8, 0.3, 0.6, 0.99])
+        res = hard_negative_sample(
+            jax.random.PRNGKey(0), assigned, 4, 0.25, scores
+        )
+        assert int(res.pos_count) == 1
+        # 3 negative slots -> highest-scoring negatives 2 (0.8), 4 (0.6),
+        # 3 (0.3); index 5 is ignore and must not appear
+        neg = np.asarray(res.neg_inds)[np.asarray(res.neg_mask)]
+        assert set(neg.tolist()) == {2, 4, 3}
+
+    def test_sampler_type_dispatch(self):
+        from mrcnn3d.core.targets import sample_rcnn_single
+
+        props = jnp.asarray(
+            [
+                [10, 10, 30, 30, 2, 8],
+                [100, 100, 140, 140, 0, 10],
+                [200, 200, 240, 240, 0, 10],
+            ],
+            jnp.float32,
+        )
+        gt = jnp.asarray([[10, 10, 30, 30, 2, 8]], jnp.float32)
+        cfg = dict(
+            assigner=dict(pos_iou_thr=0.5, neg_iou_thr=0.5, min_pos_iou=0.5),
+            sampler=dict(type="OHEMSampler", num=4, pos_fraction=0.25),
+            pos_weight=-1,
+        )
+        s = sample_rcnn_single(
+            jax.random.PRNGKey(0),
+            props,
+            jnp.ones(3, bool),
+            gt,
+            jnp.asarray([True]),
+            jnp.asarray([1], jnp.int32),
+            cfg,
+            (0.0,) * 6,
+            (0.1, 0.1, 0.2, 0.2, 0.1, 0.1),
+            proposal_scores=jnp.asarray([0.9, 0.7, 0.2]),
+        )
+        assert bool(s.is_pos.any())
