@@ -1,0 +1,118 @@
+"""Benchmark: flagship two-scale 3D Mask R-CNN inference throughput.
+
+Measures end-to-end whole-patch inference (backbone + FPN + dual RPN +
+proposals + shared bbox head + refinement + multiclass NMS) on one chip, in
+bfloat16, on the BASELINE.md config-1 patch geometry: a 512x512x64 SWI patch
+at 1.0x plus its 768x768x96 1.5x twin.
+
+The reference publishes no benchmark numbers (BASELINE.md — paper under
+review, private dataset), so `vs_baseline` is reported against the
+throughput recorded in the previous round's BENCH_r{N}.json when present,
+else 1.0 (self-baseline for round 1).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "volumes/sec/chip", "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mrcnn3d_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
+
+
+def main():
+    from mrcnn3d.detectors import pipeline as pl
+    from mrcnn3d.detectors.build import anchor_cfgs, build_detector
+    from mrcnn3d.utils.config import Config
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cfg = Config.fromfile(
+        os.path.join(here, "configs", "mask_rcnn_3d_2scales.py")
+    )
+
+    # benchmark geometry: BASELINE config 1 patch at both resolutions
+    d, h, w = 64, 512, 512
+    d2, h2, w2 = 96, 768, 768
+    # inference proposal budget (reference test_cfg: 2000); trimmed to the
+    # post-NMS population that survives on real data
+    for k in ("nms_pre", "nms_post", "max_num"):
+        cfg.test_cfg["rpn"][k] = 2000
+    cfg.test_cfg["rcnn"]["max_per_img"] = 2000
+
+    model = build_detector(cfg, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    imgs = jnp.zeros((1, d, h, w, 3), jnp.bfloat16)
+    variables = model.init(rng, imgs[:, :8, :64, :64, :])
+
+    acs = anchor_cfgs(cfg)
+    sets = []
+    for (dd, hh, ww), ac in zip([(d, h, w), (d2, h2, w2)], acs):
+        x = jnp.zeros((1, dd, hh, ww, 3), jnp.bfloat16)
+        feats = jax.eval_shape(
+            lambda v: model.apply(variables, v, method=model.extract_feat), x
+        )
+        fs = [f.shape[1:4] for f in feats]
+        sets.append(pl.build_anchor_set(fs, (hh, ww, 3, dd), ac))
+
+    # a unique key per call generates fresh on-device inputs: repeated
+    # identical executions can be served from a result cache in the
+    # remote-execution stack, which would fake the timing
+    @jax.jit
+    def infer(key):
+        k1, k2 = jax.random.split(key)
+        imgs = jax.random.normal(k1, (1, d, h, w, 3), jnp.bfloat16)
+        imgs2 = jax.random.normal(k2, (1, d2, h2, w2, 3), jnp.bfloat16)
+        out = pl.simple_test(
+            model, variables, dict(imgs=imgs, imgs_2=imgs2), cfg, sets
+        )
+        return out["dets"], out["valid"]
+
+    # warmup / compile
+    dets, valid = infer(jax.random.PRNGKey(1))
+    jax.block_until_ready(dets)
+
+    iters = 12
+    t0 = time.perf_counter()
+    for i in range(iters):
+        dets, valid = infer(jax.random.fold_in(jax.random.PRNGKey(2), i))
+    jax.block_until_ready(dets)
+    dt = (time.perf_counter() - t0) / iters
+    value = 1.0 / dt  # volumes (patch pairs) per second per chip
+
+    prev = None
+    for f in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            rec = json.load(open(f))
+            prev = rec.get("value", prev)
+        except Exception:
+            pass
+    vs = value / prev if prev else 1.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "2-scale MaskRCNN3D bbox inference, 512x512x64 patch",
+                "value": round(value, 4),
+                "unit": "volumes/sec/chip",
+                "vs_baseline": round(vs, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
