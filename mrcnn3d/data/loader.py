@@ -68,6 +68,14 @@ class Prefetcher:
         self._thread.start()
 
     def _work(self):
+        try:
+            self._produce()
+        except BaseException as e:  # surface worker errors to the consumer
+            self.q.put(e)
+        else:
+            self.q.put(None)
+
+    def _produce(self):
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
@@ -103,11 +111,12 @@ class Prefetcher:
                         )
                     self.q.put(b)
                     batch = []
-        self.q.put(None)
 
     def __iter__(self):
         while True:
             b = self.q.get()
             if b is None:
                 return
+            if isinstance(b, BaseException):
+                raise b
             yield b
