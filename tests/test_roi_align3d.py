@@ -215,3 +215,30 @@ def test_fused_gradients_flow():
     g = jax.grad(f)(feats[0])
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_pallas_crop_align_matches_xla_interpret():
+    """Pallas crop-based RoIAlign (interpreter) == XLA gather op."""
+    from mrcnn3d.ops.roi_align3d_pallas import roi_align_3d_pallas
+
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(2, 16, 48, 48, 8).astype(np.float32))
+    rois = jnp.asarray(
+        np.array(
+            [
+                [0, 4, 4, 27, 30, 2, 9],
+                [1, 0, 0, 60, 60, 0, 15],
+                [0, 10, 12, 80, 90, 5, 20],
+                [1, 40, 40, 100, 100, 10, 25],
+            ],
+            np.float32,
+        )
+    )
+    ref = roi_align_3d(feats, rois, 7, 3, 0.25, 0.5, 2)
+    got = roi_align_3d_pallas(
+        feats, rois, 7, 3, 0.25, 0.5, 2, max_d=16, max_hw=48,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-4
+    )
