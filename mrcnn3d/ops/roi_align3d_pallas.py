@@ -43,26 +43,18 @@ def _interp_matrix(coords, dim, size):
     c = jnp.where(at_edge, low.astype(coords.dtype), c)
     frac = c - low.astype(coords.dtype)
     cols = jax.lax.broadcasted_iota(jnp.int32, (coords.shape[0], size), 1)
-    m = jnp.where(cols == low[:, None], (1.0 - frac)[:, None], 0.0)
-    m = m + jnp.where(cols == high[:, None], frac[:, None], 0.0)
-    # fully collapse (low == high): weight 1 at that column
-    m = jnp.where(
-        (low == high)[:, None] & (cols == low[:, None]),
-        1.0,
-        jnp.where((low == high)[:, None] & (cols != low[:, None]), 0.0, m),
-    )
-    return m
+    # when low == high the two taps coincide and the weights sum to 1,
+    # so no special-casing is needed (also keeps all masks 32-bit for
+    # the Mosaic lowering: 1-bit minor-dim reshapes are unsupported)
+    eq_low = (cols == low[:, None]).astype(coords.dtype)
+    eq_high = (cols == high[:, None]).astype(coords.dtype)
+    return eq_low * (1.0 - frac)[:, None] + eq_high * frac[:, None]
 
 
 def _roi_align_kernel(
     starts_ref,  # scalar-prefetch (N, 4) int32 [b, z0, y0, x0]
     feats_ref,  # ANY (B, D, H, W, C)
-    zs_ref,  # (1, Sd) f32 window-relative sample coords
-    ys_ref,  # (1, Sh)
-    xs_ref,  # (1, Sw)
-    zin_ref,  # (1, Sd) f32 in-range masks (CUDA -1/dim rule)
-    yin_ref,
-    xin_ref,
+    tile_ref,  # (1, 8, 128) f32: rows 0-2 coords (z,y,x), 3-5 masks
     out_ref,  # (1, Sd, Sh, Sw, C)
     window,  # scratch (MAXD, MAXH, MAXW, C)
     sem,
@@ -71,7 +63,9 @@ def _roi_align_kernel(
     b = starts_ref[i, 0]
     z0 = starts_ref[i, 1]
     y0 = starts_ref[i, 2]
-    x0 = starts_ref[i, 3]
+    # the wrapper aligns the W start to 8 (sublane tiling); the hint lets
+    # Mosaic prove the DMA slice is tile-aligned
+    x0 = pl.multiple_of(starts_ref[i, 3], 8)
     maxd, maxh, maxw, c = window.shape
 
     cp = pltpu.make_async_copy(
@@ -91,24 +85,33 @@ def _roi_align_kernel(
     sd = out_ref.shape[1]
     sh = out_ref.shape[2]
     sw = out_ref.shape[3]
-    zmat = _interp_matrix(zs_ref[0, :sd], maxd, maxd)
-    ymat = _interp_matrix(ys_ref[0, :sh], maxh, maxh)
-    xmat = _interp_matrix(xs_ref[0, :sw], maxw, maxw)
-    zmat = zmat * zin_ref[0, :sd][:, None]
-    ymat = ymat * yin_ref[0, :sh][:, None]
-    xmat = xmat * xin_ref[0, :sw][:, None]
+    zmat = _interp_matrix(tile_ref[0, 0, :sd], maxd, maxd)
+    ymat = _interp_matrix(tile_ref[0, 1, :sh], maxh, maxh)
+    xmat = _interp_matrix(tile_ref[0, 2, :sw], maxw, maxw)
+    zmat = zmat * tile_ref[0, 3, :sd][:, None]
+    ymat = ymat * tile_ref[0, 4, :sh][:, None]
+    xmat = xmat * tile_ref[0, 5, :sw][:, None]
 
+    # separable contractions as unrolled weighted sums: Mosaic cannot
+    # shape-cast multi-dim vectors into matmul operands, and the per-roi
+    # tensors are small enough that the VPU handles this comfortably.
+    # Contract the widest axis (W) first to minimise the peak VMEM
+    # footprint of the intermediates; the window stays bf16 and upcasts
+    # slice-by-slice (a full f32 copy would blow the VMEM budget).
     w = window[...]
-    t = jnp.einsum(
-        "sd,dhwc->shwc", zmat, w, preferred_element_type=jnp.float32
-    )
-    t = jnp.einsum(
-        "ph,shwc->spwc", ymat, t, preferred_element_type=jnp.float32
-    )
-    t = jnp.einsum(
-        "qw,spwc->spqc", xmat, t, preferred_element_type=jnp.float32
-    )
-    out_ref[0] = t.astype(out_ref.dtype)
+    c_dim = w.shape[3]
+    t1 = jnp.zeros(w.shape[:2] + (sw, c_dim), jnp.float32)
+    for wx in range(maxw):
+        t1 = t1 + xmat[:, wx][None, None, :, None] * w[:, :, wx][
+            :, :, None
+        ].astype(jnp.float32)
+    t2 = jnp.zeros((w.shape[0], sh, sw, c_dim), jnp.float32)
+    for hy in range(maxh):
+        t2 = t2 + ymat[:, hy][None, :, None, None] * t1[:, hy][:, None]
+    t3 = jnp.zeros((sd, sh, sw, c_dim), jnp.float32)
+    for dz in range(maxd):
+        t3 = t3 + zmat[:, dz][:, None, None, None] * t2[dz][None]
+    out_ref[0] = t3.astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -145,6 +148,14 @@ def roi_align_3d_pallas(
     assert d >= max_d and h >= max_hw and w >= max_hw, (
         "window must fit inside the feature level; size it per level"
     )
+    c_orig = c
+    if c % 128:
+        # HBM slices must be lane-aligned (128); pad channels
+        pad_c = 128 - c % 128
+        features = jnp.pad(
+            features, ((0, 0),) * 4 + ((0, pad_c),)
+        )
+        c = c + pad_c
 
     batch_idx = rois[:, 0].astype(jnp.int32)
     start_w = rois[:, 1] * spatial_scale
@@ -161,8 +172,10 @@ def roi_align_3d_pallas(
     ys = _axis_samples(start_h, roi_h, out_size, sn)
     zs = _axis_samples(start_d, roi_d, out_size_depth, sn)
 
-    def prep(coords, dim, max_len):
-        # CUDA rules applied in GLOBAL coords, then made window-relative
+    def prep(coords, dim, max_len, align=1):
+        # CUDA rules applied in GLOBAL coords, then made window-relative;
+        # `align` keeps the DMA start tiling-aligned (sublane = 8 on the
+        # second-minor memref dim)
         in_range = ((coords >= -1.0) & (coords <= dim)).astype(jnp.float32)
         cg = jnp.clip(coords, 0.0, dim - 1.0)
         w0 = jnp.clip(
@@ -170,46 +183,47 @@ def roi_align_3d_pallas(
             0,
             jnp.maximum(dim - max_len, 0),
         )
+        w0 = (w0 // align) * align
         rel = jnp.clip(
             cg - w0[:, None].astype(cg.dtype), 0.0, max_len - 1.0
         )
         return rel.astype(jnp.float32), in_range, w0
 
-    xr, xin, x0 = prep(xs, w, max_hw)
+    max_w_win = max_hw + 8  # alignment slack on the tiled W axis
+    assert w >= max_w_win, "feature W must cover the aligned window"
+    xr, xin, x0 = prep(xs, w, max_w_win, align=8)
     yr, yin, y0 = prep(ys, h, max_hw)
     zr, zin, z0 = prep(zs, d, max_d)
     starts = jnp.stack([batch_idx, z0, y0, x0], axis=1)
 
     sd, sh_, sw = zr.shape[1], yr.shape[1], xr.shape[1]
 
-    def pad128(a):
-        # TPU blocks need a 128-divisible (or full) trailing dim
-        k = -(-a.shape[1] // 128) * 128
-        return jnp.pad(a, ((0, 0), (0, k - a.shape[1])))
-
-    zr, yr, xr = pad128(zr), pad128(yr), pad128(xr)
-    zin, yin, xin = pad128(zin), pad128(yin), pad128(xin)
-    # index maps receive (grid index, scalar-prefetch ref)
-    row = lambda i, s: (i, 0)  # noqa: E731
-
+    # pack per-roi coords+masks into one (8, 128) VMEM tile per roi
+    # (TPU blocks need (8k, 128k) trailing dims)
+    assert max(sd, sh_, sw) <= 128
+    tile = jnp.zeros((n, 8, 128), jnp.float32)
+    tile = tile.at[:, 0, :sd].set(zr)
+    tile = tile.at[:, 1, :sh_].set(yr)
+    tile = tile.at[:, 2, :sw].set(xr)
+    tile = tile.at[:, 3, :sd].set(zin)
+    tile = tile.at[:, 4, :sh_].set(yin)
+    tile = tile.at[:, 5, :sw].set(xin)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # features stay in HBM
-            pl.BlockSpec((1, zr.shape[1]), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, yr.shape[1]), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, xr.shape[1]), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, zin.shape[1]), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, yin.shape[1]), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, xin.shape[1]), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 8, 128), lambda i, s: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, sd, sh_, sw, c), lambda i, s: (i, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((max_d, max_hw, max_hw, c), features.dtype),
+            pltpu.VMEM((max_d, max_hw, max_w_win, c), features.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -219,10 +233,13 @@ def roi_align_3d_pallas(
             (n, sd, sh_, sw, c), features.dtype
         ),
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
-    )(starts, features, zr, yr, xr, zin, yin, xin)
+    )(starts, features, tile)
 
     samples = samples.reshape(
         n, out_size_depth, sn, out_size, sn, out_size, sn, c
     )
-    return samples.mean(axis=(2, 4, 6))
+    return samples.mean(axis=(2, 4, 6))[..., :c_orig]

@@ -236,7 +236,7 @@ def test_pallas_crop_align_matches_xla_interpret():
     )
     ref = roi_align_3d(feats, rois, 7, 3, 0.25, 0.5, 2)
     got = roi_align_3d_pallas(
-        feats, rois, 7, 3, 0.25, 0.5, 2, max_d=16, max_hw=48,
+        feats, rois, 7, 3, 0.25, 0.5, 2, max_d=16, max_hw=40,
         interpret=True,
     )
     np.testing.assert_allclose(
