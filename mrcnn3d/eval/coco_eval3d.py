@@ -64,15 +64,24 @@ def iou3d_xywhzd(dts, gts):
 
 
 def voxel_iou(dt_masks, gt_masks):
-    """Lists of binary volumes -> (D, G) voxel IoU."""
+    """Lists of binary volumes -> (D, G) voxel IoU.
+
+    Cost is proportional to the masks' voxel counts, not the volume size:
+    each mask is reduced to its sorted nonzero linear indices and pairwise
+    intersections use `np.intersect1d` (microbleed masks are tiny relative
+    to a 512^2 x D volume, so this is orders of magnitude cheaper than
+    whole-volume logical ops).
+    """
     d, g = len(dt_masks), len(gt_masks)
     ious = np.zeros((d, g))
-    for i, dm in enumerate(dt_masks):
-        ds = dm.astype(bool)
-        for j, gm in enumerate(gt_masks):
-            gs = gm.astype(bool)
-            inter = np.logical_and(ds, gs).sum()
-            union = np.logical_or(ds, gs).sum()
+    if d == 0 or g == 0:
+        return ious
+    d_idx = [np.flatnonzero(np.asarray(m).reshape(-1)) for m in dt_masks]
+    g_idx = [np.flatnonzero(np.asarray(m).reshape(-1)) for m in gt_masks]
+    for i, di in enumerate(d_idx):
+        for j, gj in enumerate(g_idx):
+            inter = np.intersect1d(di, gj, assume_unique=True).size
+            union = di.size + gj.size - inter
             ious[i, j] = inter / union if union > 0 else 0.0
     return ious
 
@@ -107,8 +116,16 @@ class CocoEval3D:
             d.setdefault("area", b[2] * b[3] * b[5])
             d.setdefault("id", i + 1)
             self._dts[(d["image_id"], d["category_id"])].append(d)
+        # pre-sort dts by score (desc, stable) and cap at the largest
+        # maxDets — greedy matching is sequential in score order, so every
+        # smaller maxDet is a prefix slice of this
+        for key in self._dts:
+            self._dts[key] = sorted(
+                self._dts[key], key=lambda d: -d["score"]
+            )[: MAX_DETS[-1]]
         self.best_overlaps = {}
         self.parcellation_confusion = {}  # (gt_region, pred_region) -> n
+        self._mask_cache = {}  # .npy path -> loaded volume (per-image)
         self.eval = None
         self.stats = None
 
@@ -118,14 +135,17 @@ class CocoEval3D:
     def _dt_mask(d):
         return np.asarray(d["segmentation"])
 
-    @staticmethod
-    def _gt_mask(g):
+    def _gt_mask(self, g):
         """gt `segmentation` is either an in-memory volume or a reference-
         style .npy path + segmentation_label (lazy load, reference
-        cocoeval.py:101-119 _toMask)."""
+        cocoeval.py:101-119 _toMask). Loaded volumes are cached per image
+        so the N gts of one volume trigger one np.load, not N."""
         seg = g["segmentation"]
         if isinstance(seg, str):
-            vol = np.load(seg, allow_pickle=True)
+            vol = self._mask_cache.get(seg)
+            if vol is None:
+                vol = np.load(seg, allow_pickle=True)
+                self._mask_cache[seg] = vol
             label = g.get("segmentation_label", 1)
             mask = (vol == label).astype(np.uint8)
             # disk layout is (H, W, D); evaluation uses (D, H, W)
@@ -134,27 +154,15 @@ class CocoEval3D:
 
     # -- matching --------------------------------------------------------
 
-    def _evaluate_img(self, img_id, cat_id, area_rng, max_det):
+    def _compute_ious(self, img_id, cat_id):
+        """IoU matrix for one (image, category) — computed exactly once.
+
+        Also does the per-gt best-overlap and parcellation-confusion
+        bookkeeping (fork cocoeval.py:276-304), which belongs here: it is
+        independent of the (area, maxDet) sweep.
+        """
         gts = self._gts[(img_id, cat_id)]
         dts = self._dts[(img_id, cat_id)]
-        if len(gts) == 0 and len(dts) == 0:
-            return None
-        dts = sorted(dts, key=lambda d: -d["score"])[:max_det]
-
-        gt_ignore = np.array(
-            [
-                g.get("iscrowd", 0)
-                or g["area"] < area_rng[0]
-                or g["area"] > area_rng[1]
-                for g in gts
-            ],
-            bool,
-        )
-        # sort gts: unignored first (COCO protocol)
-        order = np.argsort(gt_ignore, kind="stable")
-        gts = [gts[i] for i in order]
-        gt_ignore = gt_ignore[order]
-
         if self.iou_type == "segm":
             ious = voxel_iou(
                 [self._dt_mask(d) for d in dts],
@@ -165,7 +173,6 @@ class CocoEval3D:
                 [d["bbox"] for d in dts], [g["bbox"] for g in gts]
             )
 
-        # per-gt best-overlap bookkeeping (fork cocoeval.py:276-295)
         for j, g in enumerate(gts):
             key = f"{img_id}_{cat_id}_{j}"
             self.best_overlaps[key] = dict(
@@ -189,6 +196,35 @@ class CocoEval3D:
                     self.parcellation_confusion[pair] = (
                         self.parcellation_confusion.get(pair, 0) + 1
                     )
+        return ious
+
+    def _evaluate_img(self, img_id, cat_id, area_rng, ious):
+        """Greedy matching at every IoU threshold for one (img, cat, area).
+
+        Matches at the LARGEST maxDet; smaller maxDets are prefix slices
+        taken in `evaluate` (greedy matching is sequential in score order,
+        so truncation is exact — same trick as pycocotools).
+        """
+        gts = self._gts[(img_id, cat_id)]
+        dts = self._dts[(img_id, cat_id)]  # pre-sorted by score, capped
+        if len(gts) == 0 and len(dts) == 0:
+            return None
+
+        gt_ignore = np.array(
+            [
+                g.get("iscrowd", 0)
+                or g["area"] < area_rng[0]
+                or g["area"] > area_rng[1]
+                for g in gts
+            ],
+            bool,
+        )
+        # sort gts: unignored first (COCO protocol); reindex IoU columns
+        order = np.argsort(gt_ignore, kind="stable")
+        gts = [gts[i] for i in order]
+        gt_ignore = gt_ignore[order]
+        if ious.size:
+            ious = ious[:, order]
 
         t = len(IOU_THRS)
         dt_matches = np.zeros((t, len(dts)), np.int64)
@@ -234,6 +270,14 @@ class CocoEval3D:
     # -- accumulate ------------------------------------------------------
 
     def evaluate(self):
+        """Compute once, slice many (fork cocoeval.py:306-354,658):
+
+        1. IoUs once per (img, cat) — for segm this is the expensive part
+           (gt-mask load + voxel IoU), so it must not repeat per cell.
+        2. Greedy matching once per (img, cat, area) at the largest maxDet.
+        3. Every (thr x area x maxDet) cell derives from cached matches by
+           prefix-slicing the per-image dt columns.
+        """
         t = len(IOU_THRS)
         r = len(REC_THRS)
         k = len(self.cat_ids)
@@ -241,29 +285,46 @@ class CocoEval3D:
         m = len(MAX_DETS)
         precision = -np.ones((t, r, k, a, m))
         recall = -np.ones((t, k, a, m))
+
+        # 1) IoUs once per (img, cat); mask cache lives for one image
+        ious_cache = {}
+        for img_id in self.img_ids:
+            for cat_id in self.cat_ids:
+                ious_cache[(img_id, cat_id)] = self._compute_ious(
+                    img_id, cat_id
+                )
+            self._mask_cache.clear()
+
         for ki, cat_id in enumerate(self.cat_ids):
             for ai, area_rng in enumerate(AREA_RNG):
+                # 2) matching once per (img, cat, area) at max maxDet
+                results = [
+                    self._evaluate_img(
+                        img_id, cat_id, area_rng,
+                        ious_cache[(img_id, cat_id)],
+                    )
+                    for img_id in self.img_ids
+                ]
+                results = [x for x in results if x is not None]
+                if not results:
+                    continue
+                num_gt = sum(x["num_gt"] for x in results)
+                if num_gt == 0:
+                    continue
+                # 3) per-maxDet cells by prefix-slicing each image's dts
                 for mi, max_det in enumerate(MAX_DETS):
-                    results = [
-                        self._evaluate_img(img_id, cat_id, area_rng, max_det)
-                        for img_id in self.img_ids
-                    ]
-                    results = [x for x in results if x is not None]
-                    if not results:
-                        continue
                     scores = np.concatenate(
-                        [x["dt_scores"] for x in results]
+                        [x["dt_scores"][:max_det] for x in results]
                     )
                     order = np.argsort(-scores, kind="mergesort")
                     matches = np.concatenate(
-                        [x["dt_matches"] for x in results], axis=1
+                        [x["dt_matches"][:, :max_det] for x in results],
+                        axis=1,
                     )[:, order]
                     ignore = np.concatenate(
-                        [x["dt_ignore"] for x in results], axis=1
+                        [x["dt_ignore"][:, :max_det] for x in results],
+                        axis=1,
                     )[:, order]
-                    num_gt = sum(x["num_gt"] for x in results)
-                    if num_gt == 0:
-                        continue
                     tps = (matches > 0) & ~ignore
                     fps = (matches == 0) & ~ignore
                     tp_sum = np.cumsum(tps, axis=1).astype(float)

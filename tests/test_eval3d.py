@@ -165,3 +165,114 @@ def test_parcellation_confusion_tracking():
     # area/maxDet combo; the ratio diagonal/total gives accuracy
     total = sum(e.parcellation_confusion.values())
     assert e.parcellation_confusion.get((7, 7), 0) == total and total > 0
+
+
+def test_segm_whole_volume_eval_is_fast(tmp_path):
+    """512^2 x 160 whole-volume segm eval must finish in seconds: IoUs are
+    computed once per (img, cat), gt volumes np.load once per image, and
+    voxel IoU cost scales with mask voxels, not volume voxels."""
+    import time
+
+    rng = np.random.default_rng(0)
+    n_imgs, n_gts = 4, 6
+    H = W = 512
+    D = 160
+    images, anns, dts = [], [], []
+    for img in range(n_imgs):
+        images.append(img)
+        # reference-style gt: (H, W, D) labelled volume on disk
+        vol = np.zeros((H, W, D), np.uint8)
+        for j in range(n_gts):
+            x, y, z = rng.integers(0, 400, 2).tolist() + [
+                int(rng.integers(0, 140))
+            ]
+            vol[y : y + 8, x : x + 8, z : z + 4] = j + 1
+            anns.append(
+                (img, [float(x), float(y), 8.0, 8.0, float(z), 4.0], j + 1)
+            )
+            # matching dt mask in eval layout (D, H, W)
+            m = np.zeros((D, H, W), np.uint8)
+            m[z : z + 4, y : y + 8, x : x + 8] = 1
+            dts.append(
+                dict(
+                    image_id=img,
+                    category_id=1,
+                    bbox=[float(x), float(y), 8.0, 8.0, float(z), 4.0],
+                    score=0.9,
+                    segmentation=m,
+                )
+            )
+        np.save(tmp_path / f"seg{img}.npy", vol)
+
+    gt = dict(
+        images=[dict(id=i) for i in images],
+        annotations=[
+            dict(
+                id=k + 1,
+                image_id=a[0],
+                category_id=1,
+                iscrowd=0,
+                bbox=a[1],
+                area=a[1][2] * a[1][3] * a[1][5],
+                segmentation=str(tmp_path / f"seg{a[0]}.npy"),
+                segmentation_label=a[2],
+            )
+            for k, a in enumerate(anns)
+        ],
+        categories=[dict(id=1, name="microbleed")],
+    )
+    t0 = time.perf_counter()
+    ev = CocoEval3D(gt, dts, iou_type="segm")
+    stats = ev.summarize()
+    dt = time.perf_counter() - t0
+    assert stats[0] > 0.99  # perfect predictions
+    assert dt < 30.0, f"segm eval took {dt:.1f}s"
+
+
+def test_maxdet_prefix_slicing_matches_full_rematch():
+    """Stats from the compute-once/slice-many path must equal a brute
+    re-match run independently at each maxDet (greedy matching is
+    sequential in score order, so prefix truncation is exact)."""
+    rng = np.random.default_rng(1)
+    images = list(range(3))
+    anns, dts = [], []
+    for img in images:
+        for _ in range(12):
+            x, y, z = rng.uniform(0, 80, 3)
+            w, h, d = rng.uniform(3, 30, 3)
+            anns.append((img, [x, y, w, h, z, d]))
+        for _ in range(40):
+            x, y, z = rng.uniform(0, 80, 3)
+            w, h, d = rng.uniform(3, 30, 3)
+            dts.append(
+                dict(
+                    image_id=img,
+                    category_id=1,
+                    bbox=[x, y, w, h, z, d],
+                    score=float(rng.uniform()),
+                )
+            )
+    gt = _gt(images, anns)
+    ev = CocoEval3D(gt, dts)
+    stats = ev.summarize()
+
+    # brute force: per-maxDet evaluation by truncating the dt lists fed in
+    import mrcnn3d.eval.coco_eval3d as m
+
+    for mi, max_det in enumerate(m.MAX_DETS):
+        per_img = {}
+        for d_ in sorted(dts, key=lambda d: -d["score"]):
+            per_img.setdefault(d_["image_id"], []).append(d_)
+        trunc = [d_ for img in images for d_ in per_img.get(img, [])[:max_det]]
+        ev2 = CocoEval3D(gt, trunc)
+        ev2.evaluate()
+        np.testing.assert_allclose(
+            ev.eval["recall"][:, :, :, mi],
+            ev2.eval["recall"][:, :, :, mi],
+            atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            ev.eval["precision"][:, :, :, :, mi],
+            ev2.eval["precision"][:, :, :, :, mi],
+            atol=1e-12,
+        )
