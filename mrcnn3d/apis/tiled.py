@@ -27,6 +27,27 @@ def tile_starts(extent, patch, stride):
     return starts
 
 
+def _fixed_tile(vol, z0, y0, x0, pd, ph):
+    """Crop a (pd, ph, ph) window, zero-padding at volume edges.
+
+    Every tile has identical geometry so the whole sweep runs on ONE
+    compiled program; zeros are the normalised mean intensity. (Volumes
+    smaller than the patch, and short 1.5x windows from upscale rounding,
+    are the cases that would otherwise trigger a recompile per distinct
+    remainder shape.)
+    """
+    t = vol[z0 : z0 + pd, y0 : y0 + ph, x0 : x0 + ph]
+    pads = [
+        (0, pd - t.shape[0]),
+        (0, ph - t.shape[1]),
+        (0, ph - t.shape[2]),
+        (0, 0),
+    ]
+    if any(p[1] for p in pads[:3]):
+        t = np.pad(t, pads)
+    return t
+
+
 def tiled_inference(
     cfg,
     model,
@@ -55,26 +76,28 @@ def tiled_inference(
     if model.num_scales >= 2:
         img2 = np.asarray(volume_sample["imgs_2"])
 
+    # fixed 1.5x window geometry for the whole sweep (one compile)
+    pd2, ph2 = int(round(patch_d * up)), int(round(patch_hw * up))
+
     entries = []
     for z0 in tile_starts(d, patch_d, stride_d):
         for y0 in tile_starts(h, patch_hw, stride_hw):
             for x0 in tile_starts(w, patch_hw, stride_hw):
-                patch = img[
-                    z0 : z0 + patch_d,
-                    y0 : y0 + patch_hw,
-                    x0 : x0 + patch_hw,
-                ]
-                sample = {"imgs": patch}
+                sample = {
+                    "imgs": _fixed_tile(img, z0, y0, x0, patch_d, patch_hw)
+                }
                 if img2 is not None:
+                    # the 1.0x window [u0, u0+p) maps to [u0*up, (u0+p)*up)
+                    # in the 1.5x volume; round (not truncate) the origin so
+                    # both pathways see the same physical window
                     z2, y2, x2 = (
-                        int(z0 * up),
-                        int(y0 * up),
-                        int(x0 * up),
+                        int(round(z0 * up)),
+                        int(round(y0 * up)),
+                        int(round(x0 * up)),
                     )
-                    pd2, ph2 = int(patch_d * up), int(patch_hw * up)
-                    sample["imgs_2"] = img2[
-                        z2 : z2 + pd2, y2 : y2 + ph2, x2 : x2 + ph2
-                    ]
+                    sample["imgs_2"] = _fixed_tile(
+                        img2, z2, y2, x2, pd2, ph2
+                    )
                 dets, labels, valid = runner(sample)
                 per_class = pl.bbox2result3d(
                     dets, labels, valid, model.num_classes

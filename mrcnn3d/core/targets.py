@@ -378,11 +378,13 @@ def sample_rcnn_single(
     labels = jnp.where(is_pos, gt_labels[gt_idx], 0)
 
     deltas = bbox2delta3d(rois, gt_boxes[gt_idx], target_means, target_stds)
+    # targets are packed per-roi (6-dim) regardless of reg_class_agnostic:
+    # the class-specific column expansion of the reference bbox_target
+    # (bbox_target.py expand dims to 6*C) is done equivalently at the loss
+    # by gathering the labeled class's prediction slice
+    # (pipeline.bbox_stage_loss); agnostic heads skip that gather.
     bbox_targets = jnp.where(is_pos[:, None], deltas, 0.0)
-    if reg_class_agnostic:
-        bbox_weights = jnp.where(is_pos[:, None], 1.0, 0.0)
-    else:
-        bbox_weights = jnp.where(is_pos[:, None], 1.0, 0.0)
+    bbox_weights = jnp.where(is_pos[:, None], 1.0, 0.0)
 
     return RcnnSample(
         rois=rois,

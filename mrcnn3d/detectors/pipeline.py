@@ -52,6 +52,16 @@ RPN_MEANS = (0.0,) * 6
 RPN_STDS = (1.0,) * 6
 
 
+def rpn_codec(cfg):
+    """RPN/anchor-head box-codec (means, stds) from the model config
+    (reference cfg.model.rpn_head.target_means/stds); identity codec
+    when unspecified."""
+    head = cfg.model.get("rpn_head", {}) if hasattr(cfg, "model") else {}
+    means = tuple(head.get("target_means", RPN_MEANS))
+    stds = tuple(head.get("target_stds", RPN_STDS))
+    return means, stds
+
+
 class AnchorSet(NamedTuple):
     """Static per-level anchors + inside-image flags (numpy constants)."""
 
@@ -92,7 +102,8 @@ def build_anchor_set(featmap_sizes, img_shape, anchor_cfg, allowed_border=0):
 
 
 def gen_proposals_single(
-    cls_list, reg_list, anchor_set, img_shape, cfg
+    cls_list, reg_list, anchor_set, img_shape, cfg,
+    means=RPN_MEANS, stds=RPN_STDS,
 ):
     """RPN proposals for one image (reference get_bboxes_single).
 
@@ -123,7 +134,7 @@ def gen_proposals_single(
         else:
             valid = jnp.ones((n,), bool)
         boxes = delta2bbox3d(
-            anchors, deltas, RPN_MEANS, RPN_STDS, img_shape
+            anchors, deltas, means, stds, img_shape
         )
         k_out = min(nms_post, boxes.shape[0])
         b, s, v = nms_3d(boxes, scores, valid, nms_thr, k_out)
@@ -142,11 +153,13 @@ def gen_proposals_single(
     return out_boxes, out_scores, out_valid
 
 
-def gen_proposals(cls_outs, reg_outs, anchor_set, img_shape, cfg):
+def gen_proposals(cls_outs, reg_outs, anchor_set, img_shape, cfg,
+                  means=RPN_MEANS, stds=RPN_STDS):
     """Batched proposals. cls_outs[l]: (B, d, h, w, A)."""
 
     def single(cls_l, reg_l):
-        return gen_proposals_single(cls_l, reg_l, anchor_set, img_shape, cfg)
+        return gen_proposals_single(
+            cls_l, reg_l, anchor_set, img_shape, cfg, means, stds)
 
     return jax.vmap(single)(cls_outs, reg_outs)
 
@@ -165,6 +178,8 @@ def rpn_loss(
     rng,
     cfg_rpn,
     suffix="",
+    means=RPN_MEANS,
+    stds=RPN_STDS,
 ):
     """RPN cls+reg loss over the flat multi-level anchor set (batched).
 
@@ -183,7 +198,7 @@ def rpn_loss(
     keys = jax.random.split(rng, b)
     tgt = jax.vmap(
         lambda k, gb, gv: anchor_target_single(
-            k, anchors, inside, gb, gv, cfg_rpn, RPN_MEANS, RPN_STDS
+            k, anchors, inside, gb, gv, cfg_rpn, means, stds
         )
     )(keys, gt_boxes, gt_valid)
 
@@ -215,6 +230,8 @@ def single_stage_loss(
     gt_labels,
     cfg_ss,
     num_classes,
+    means=RPN_MEANS,
+    stds=RPN_STDS,
 ):
     """Focal-loss single-stage head loss (reference anchor_head.py focal
     path + retina_head.py): no sampling, every assigned anchor counts,
@@ -235,7 +252,7 @@ def single_stage_loss(
 
     tgt = jax.vmap(
         lambda gb, gv, gl: anchor_target_focal_single(
-            anchors, inside, gb, gv, gl, cfg_ss, RPN_MEANS, RPN_STDS
+            anchors, inside, gb, gv, gl, cfg_ss, means, stds
         )
     )(gt_boxes, gt_valid, gt_labels)
 
@@ -262,7 +279,8 @@ def single_stage_loss(
 
 
 def single_stage_test_single(
-    cls_list, reg_list, anchor_set, img_shape, cfg, num_classes
+    cls_list, reg_list, anchor_set, img_shape, cfg, num_classes,
+    means=RPN_MEANS, stds=RPN_STDS,
 ):
     """RetinaNet-style decode: per-level top-k by best class score,
     decode, then multi-class NMS across levels."""
@@ -284,7 +302,7 @@ def single_stage_test_single(
             valid = jnp.ones((nms_pre,), bool)
         else:
             valid = jnp.ones((n,), bool)
-        boxes = delta2bbox3d(anchors, deltas, RPN_MEANS, RPN_STDS, img_shape)
+        boxes = delta2bbox3d(anchors, deltas, means, stds, img_shape)
         lvl_boxes.append(boxes)
         lvl_scores.append(scores)
         lvl_valid.append(valid)
@@ -323,11 +341,13 @@ def bbox_stage_loss(
     num_classes,
     pos_weight,
     suffix="",
+    reg_class_agnostic=False,
 ):
     """R-CNN bbox head loss (reference bbox_head_3d.py:86-135).
 
-    cls_score (N, C), bbox_pred (N, 6C) over flattened batch samples;
-    `samples` is the vmapped RcnnSample pytree (leading batch dim).
+    cls_score (N, C), bbox_pred (N, 6C) — or (N, 6) when
+    reg_class_agnostic — over flattened batch samples; `samples` is the
+    vmapped RcnnSample pytree (leading batch dim).
     """
     labels = samples.labels.reshape(-1)
     roi_valid = samples.roi_valid.reshape(-1)
@@ -344,11 +364,15 @@ def bbox_stage_loss(
     )
     acc = accuracy(cls_score, labels, roi_valid)
 
-    # class-specific delta slice (reference loss :108-113)
-    per_class = bbox_pred.reshape(bbox_pred.shape[0], num_classes, 6)
-    pred = jnp.take_along_axis(
-        per_class, labels[:, None, None].astype(jnp.int32), axis=1
-    )[:, 0]
+    # class-specific delta slice (reference loss :108-113); agnostic
+    # heads predict one 6-dim delta shared by all classes
+    if reg_class_agnostic:
+        pred = bbox_pred.reshape(bbox_pred.shape[0], 6)
+    else:
+        per_class = bbox_pred.reshape(bbox_pred.shape[0], num_classes, 6)
+        pred = jnp.take_along_axis(
+            per_class, labels[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0]
     reg_w = jnp.where(is_pos[:, None], 1.0, 0.0)
     avg_reg = (
         jnp.sum(samples.pos_count) + jnp.sum(samples.neg_count)
@@ -390,6 +414,7 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
     rcnn_cfg = train_cfg.get("rcnn", {})
     num_classes = model.num_classes
     apply = functools.partial(model.apply, variables)
+    rpn_means, rpn_stds = rpn_codec(cfg)
 
     scales = range(model.num_scales)
     suffixes = ["", "_2", "_3"][: model.num_scales]
@@ -426,6 +451,8 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
                     gtl,
                     train_cfg["rpn"],
                     model.num_classes,
+                    means=rpn_means,
+                    stds=rpn_stds,
                 )
             )
             feats_s.append(feats)
@@ -441,6 +468,8 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
                 rngs[s],
                 train_cfg["rpn"],
                 suffix=sfx,
+                means=rpn_means,
+                stds=rpn_stds,
             )
         )
 
@@ -455,6 +484,8 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
             anchor_sets[s],
             img_shape,
             train_cfg["rpn_proposal"],
+            means=rpn_means,
+            stds=rpn_stds,
         )
         # proposals feed assignment but carry no gradient (reference
         # get_bboxes operates on .detach()ed tensors)
@@ -741,6 +772,7 @@ def simple_test(
     roi_cfg = cfg.model.get("bbox_roi_extractor")
     upscale = cfg.get("upscale_factor", 1.5)
     suffixes = ["", "_2", "_3"][: model.num_scales]
+    rpn_means, rpn_stds = rpn_codec(cfg)
 
     if model.single_stage:
         imgs = batch["imgs"]
@@ -753,7 +785,7 @@ def simple_test(
         def one(cls_i, reg_i):
             return single_stage_test_single(
                 cls_i, reg_i, anchor_sets[0], img_shape, test_cfg,
-                model.num_classes,
+                model.num_classes, means=rpn_means, stds=rpn_stds,
             )
 
         dets, labels, dvalid, _ = jax.vmap(one)(cls_outs, reg_outs)
@@ -772,6 +804,8 @@ def simple_test(
             anchor_sets[0],
             img_shape,
             test_cfg["rpn"],
+            means=rpn_means,
+            stds=rpn_stds,
         )
         dets = jnp.concatenate([pboxes, pscores[..., None]], axis=-1)
         return dict(
@@ -791,7 +825,8 @@ def simple_test(
         cls_outs = [o[0] for o in rpn_outs]
         reg_outs = [o[1] for o in rpn_outs]
         pboxes, pscores, pvalid = gen_proposals(
-            cls_outs, reg_outs, anchor_sets[s], img_shape, test_cfg["rpn"]
+            cls_outs, reg_outs, anchor_sets[s], img_shape, test_cfg["rpn"],
+            means=rpn_means, stds=rpn_stds,
         )
         rois, rvalid = flat_rois(pboxes, pvalid)
         roi_feats = _roi_align_cfg(feats, rois, roi_cfg, rvalid)
@@ -941,15 +976,16 @@ def cascade_forward_train(model, variables, batch, rng, cfg, anchor_sets):
     rpn_outs = apply(feats, 0, method=model.rpn)
     cls_outs = [o[0] for o in rpn_outs]
     reg_outs = [o[1] for o in rpn_outs]
+    rpn_means, rpn_stds = rpn_codec(cfg)
     losses.update(
         rpn_loss(
             cls_outs, reg_outs, anchor_sets[0], gtb, gtv, rngs[0],
-            train_cfg["rpn"],
+            train_cfg["rpn"], means=rpn_means, stds=rpn_stds,
         )
     )
     pboxes, pscores, pvalid = gen_proposals(
         cls_outs, reg_outs, anchor_sets[0], img_shape,
-        train_cfg["rpn_proposal"],
+        train_cfg["rpn_proposal"], means=rpn_means, stds=rpn_stds,
     )
     pboxes = jax.lax.stop_gradient(pboxes)
     roi_cfg = cfg.model["bbox_roi_extractor"]
@@ -1017,12 +1053,15 @@ def cascade_simple_test(model, variables, batch, cfg, anchor_sets):
     img_shape = (imgs.shape[2], imgs.shape[3], 3, imgs.shape[1])
     feats = apply(imgs, method=model.extract_feat)
     rpn_outs = apply(feats, 0, method=model.rpn)
+    rpn_means, rpn_stds = rpn_codec(cfg)
     pboxes, pscores, pvalid = gen_proposals(
         [o[0] for o in rpn_outs],
         [o[1] for o in rpn_outs],
         anchor_sets[0],
         img_shape,
         test_cfg["rpn"],
+        means=rpn_means,
+        stds=rpn_stds,
     )
     boxes = pboxes
     score_sum = None

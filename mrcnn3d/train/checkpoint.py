@@ -42,3 +42,23 @@ def restore(
         args=ocp.args.StandardRestore(abstract_state._asdict()),
     )
     return TrainState(**restored)
+
+
+def restore_params(
+    manager: ocp.CheckpointManager, step=None
+) -> dict[str, Any] | None:
+    """Params-only restore for evaluation/serving.
+
+    Reads the raw checkpoint tree and returns
+    {params, batch_stats, step} — no optimizer chain needs to be rebuilt,
+    decoupling eval from the training schedule/optimizer configuration.
+    """
+    step = step if step is not None else manager.latest_step()
+    if step is None:
+        return None
+    raw = manager.restore(step)
+    return dict(
+        params=raw["params"],
+        batch_stats=raw.get("batch_stats") or {},
+        step=int(raw.get("step", step)),
+    )

@@ -39,8 +39,6 @@ def main():
     from mrcnn3d.eval.coco_eval3d import CocoEval3D
     from mrcnn3d.eval.results import results2json3d
     from mrcnn3d.train import checkpoint as ckpt
-    from mrcnn3d.train.optim import make_optimizer, step_lr_schedule
-    from mrcnn3d.train.step import create_train_state
     from mrcnn3d.utils.config import Config
 
     cfg = Config.fromfile(args.config)
@@ -73,29 +71,21 @@ def main():
         test_mode=True,
     )
 
-    # init + restore params
+    # params-only restore: eval never rebuilds the training optimizer
     import jax
 
-    # the optimizer chain must match training exactly or the orbax
-    # opt_state tree will not restore
-    sched = step_lr_schedule(1e-3, [], 100)
-    tx = make_optimizer(
-        cfg.optimizer, cfg.optimizer_config.get("grad_clip"), sched
-    )
-    state = create_train_state(
-        model, jax.random.PRNGKey(0), jnp.zeros((1, 8, 32, 32, 3)), tx
-    )
     manager = ckpt.make_manager(args.checkpoint)
-    restored = ckpt.restore(manager, state)
+    restored = ckpt.restore_params(manager)
     if restored is not None:
-        state = restored
-        print(f"loaded checkpoint at step {int(state.step)}")
+        print(f"loaded checkpoint at step {restored['step']}")
+        variables = {"params": restored["params"]}
+        if restored["batch_stats"]:
+            variables["batch_stats"] = restored["batch_stats"]
     else:
         print("WARNING: no checkpoint found, using random init")
-
-    variables = {"params": state.params}
-    if state.batch_stats:
-        variables["batch_stats"] = state.batch_stats
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 32, 32, 3))
+        )
     out = run_inference(cfg, model, variables, dataset)
     results, infos = out[0], out[1]
     segms = out[2] if len(out) > 2 else None
