@@ -21,11 +21,13 @@ from .. import native
 MERGE_NMS_THR = 0.1
 
 
-def det_entries(per_class_dets, img_info, cat_ids=None):
+def det_entries(per_class_dets, img_info, cat_ids=None, coord_scale=1.0):
     """Per-class (n, 7) xyxyzz+score arrays -> COCO dt dicts (global coords).
 
     img_info may carry pos_top/pos_left/pos_front patch offsets and a
-    full_volume_id; falls back to its own id.
+    full_volume_id; falls back to its own id. coord_scale maps the
+    translated boxes into the evaluation frame (e.g. 1/1.5 for a
+    1.5x-resolution dataset evaluated against 1.0x ground truth).
     """
     top = img_info.get("pos_top", 0)
     left = img_info.get("pos_left", 0)
@@ -39,6 +41,8 @@ def det_entries(per_class_dets, img_info, cat_ids=None):
         boxes = dets[:, :6] + np.array(
             [left, top, left, top, front, front], np.float32
         )
+        if coord_scale != 1.0:
+            boxes = boxes * coord_scale
         xywhzd = xyxyzz_to_xywhzd(boxes)
         cat = cat_ids[label] if cat_ids else label + 1
         for b, score in zip(xywhzd, dets[:, 6]):
@@ -85,6 +89,34 @@ def results2json3d(all_results, img_infos, merge=True):
     entries = []
     for per_class, info in zip(all_results, img_infos):
         entries.extend(det_entries(per_class, info))
+    if merge:
+        entries = merge_patch_detections(entries)
+    return entries
+
+
+def results2json3d_multi(
+    results1, infos1, results2, infos2, scale2=1.0 / 1.5, merge=True
+):
+    """Dual-dataset (`double_test`) result merge (reference
+    results2json3DMulti, coco_utils.py:480-574 + det2json3DMulti).
+
+    Pass 1 is the native-resolution test set, pass 2 the upscaled
+    (1.5x) set; both are translated to full-volume coordinates, the
+    second mapped back into the 1.0x evaluation frame, then merged with
+    the same global apply_nms used for patch merging (:306-332).
+
+    Deliberate deviations from the reference code (both look like
+    upstream bugs, not protocol): det2json3DMulti iterates `results[idx]`
+    for dataset2 instead of the second half of the result list
+    (coco_utils.py:509), and never rescales the 1.5x boxes into the
+    1.0x gt frame; here pass-2 results are the actual second-pass
+    outputs and are rescaled by `scale2`.
+    """
+    entries = []
+    for per_class, info in zip(results1, infos1):
+        entries.extend(det_entries(per_class, info))
+    for per_class, info in zip(results2, infos2):
+        entries.extend(det_entries(per_class, info, coord_scale=scale2))
     if merge:
         entries = merge_patch_detections(entries)
     return entries

@@ -130,6 +130,8 @@ def roi_align_3d(
             ((zoff + zi)[:, :, None, None] * h + yi[:, None, :, None]) * w
             + xi[:, None, None, :]
         )
+        # keep index math out of the gather fusion (see fetch() below)
+        idx = jax.lax.optimization_barrier(idx)
         vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(
             n, sd, sh_, sw, c
         )
@@ -254,9 +256,38 @@ def multi_level_roi_align_3d(
         [1.0 / s for s in featmap_strides_depth], np.float32
     )
 
+    # Neighbor packing: TPU gathers of rows narrower than the 128-lane
+    # tile fall off a performance cliff (measured ~300x slower than
+    # 128-lane rows on v5e). Pack each cell's x+1 — and if still under
+    # 128 lanes, y+1 — neighbor into its row, so every gather row is
+    # >= 128 lanes AND delivers 2 (or 4) trilinear corners at once.
+    # Edge rows pack a zero neighbor; the CUDA edge rule already gives
+    # the high corner weight 0 there (interp collapses to the edge
+    # voxel), so the zeros are never read with nonzero weight.
+    pack_x = c < 128
+    pack_y = 2 * c < 128
+    packed = []
+    for f in feats:
+        fp = f
+        if pack_x:
+            x_n = jnp.pad(
+                f[:, :, :, 1:, :], ((0, 0), (0, 0), (0, 0), (0, 1), (0, 0))
+            )
+            fp = jnp.concatenate([fp, x_n], axis=-1)
+        if pack_y:
+            y_n = jnp.pad(
+                fp[:, :, 1:, :, :], ((0, 0), (0, 0), (0, 1), (0, 0), (0, 0))
+            )
+            fp = jnp.concatenate([fp, y_n], axis=-1)
+        packed.append(fp)
+    cp = packed[0].shape[-1]
     flat = jnp.concatenate(
-        [f.reshape(-1, c) for f in feats], axis=0
-    )  # (sum(B*D*H*W), C)
+        [f.reshape(-1, cp) for f in packed], axis=0
+    )  # (sum(B*D*H*W), packed C)
+    # materialize the packed table: if XLA fuses the pad/concat into the
+    # gather, the gather reads a computed operand and falls off the fast
+    # path (measured ~100x slower)
+    flat = jax.lax.optimization_barrier(flat)
 
     # per-roi level params
     t = target
@@ -304,7 +335,7 @@ def multi_level_roi_align_3d(
     sd, sh_, sw = zs.shape[1], ys.shape[1], xs.shape[1]
     base = off + batch_idx * dim_d * dim_h * dim_w  # (N,)
 
-    def corner(zi, yi, xi, wz, wy, wx):
+    def fetch(zi, yi, xi):
         idx = (
             base[:, None, None, None]
             + (
@@ -314,24 +345,59 @@ def multi_level_roi_align_3d(
             * dim_w[:, None, None, None]
             + xi[:, None, None, :]
         )
-        vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(
-            n, sd, sh_, sw, c
+        # materialize the indices: if XLA fuses the index arithmetic into
+        # the gather, the gather leaves its fast path (measured ~250x
+        # slower on v5e for this exact op)
+        idx = jax.lax.optimization_barrier(idx)
+        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(
+            n, sd, sh_, sw, cp
         )
-        wgt = (
+
+    def w3(wz, wy, wx):
+        return (
             wz[:, :, None, None]
             * wy[:, None, :, None]
             * wx[:, None, None, :]
-        ).astype(compute_dtype)
-        return vals * wgt[..., None]
+        ).astype(compute_dtype)[..., None]
 
-    acc = corner(zl, yl, xl, wzl, wyl, wxl)
-    acc += corner(zl, yl, xh, wzl, wyl, wxh)
-    acc += corner(zl, yh, xl, wzl, wyh, wxl)
-    acc += corner(zl, yh, xh, wzl, wyh, wxh)
-    acc += corner(zh, yl, xl, wzh, wyl, wxl)
-    acc += corner(zh, yl, xh, wzh, wyl, wxh)
-    acc += corner(zh, yh, xl, wzh, wyh, wxl)
-    acc += corner(zh, yh, xh, wzh, wyh, wxh)
+    def bx(wx):
+        return wx[:, None, None, :, None].astype(compute_dtype)
+
+    def by(wy):
+        return wy[:, None, :, None, None].astype(compute_dtype)
+
+    def bz(wz):
+        return wz[:, :, None, None, None].astype(compute_dtype)
+
+    if pack_y:
+        # one gather per z corner; lanes hold the 2x2 xy corner block
+        def xy_mix(v):
+            return (
+                v[..., 0 * c : 1 * c] * bx(wxl) + v[..., 1 * c : 2 * c] * bx(wxh)
+            ) * by(wyl) + (
+                v[..., 2 * c : 3 * c] * bx(wxl) + v[..., 3 * c : 4 * c] * bx(wxh)
+            ) * by(wyh)
+
+        acc = xy_mix(fetch(zl, yl, xl)) * bz(wzl)
+        acc += xy_mix(fetch(zh, yl, xl)) * bz(wzh)
+    elif pack_x:
+        # one gather per (z, y) corner pair; lanes hold both x corners
+        def x_mix(v):
+            return v[..., :c] * bx(wxl) + v[..., c:] * bx(wxh)
+
+        acc = x_mix(fetch(zl, yl, xl)) * (bz(wzl) * by(wyl))
+        acc += x_mix(fetch(zl, yh, xl)) * (bz(wzl) * by(wyh))
+        acc += x_mix(fetch(zh, yl, xl)) * (bz(wzh) * by(wyl))
+        acc += x_mix(fetch(zh, yh, xl)) * (bz(wzh) * by(wyh))
+    else:
+        acc = fetch(zl, yl, xl) * w3(wzl, wyl, wxl)
+        acc += fetch(zl, yl, xh) * w3(wzl, wyl, wxh)
+        acc += fetch(zl, yh, xl) * w3(wzl, wyh, wxl)
+        acc += fetch(zl, yh, xh) * w3(wzl, wyh, wxh)
+        acc += fetch(zh, yl, xl) * w3(wzh, wyl, wxl)
+        acc += fetch(zh, yl, xh) * w3(wzh, wyl, wxh)
+        acc += fetch(zh, yh, xl) * w3(wzh, wyh, wxl)
+        acc += fetch(zh, yh, xh) * w3(wzh, wyh, wxh)
 
     ok = zin[:, :, None, None] & yin[:, None, :, None] & xin[:, None, None, :]
     if valid is not None:
