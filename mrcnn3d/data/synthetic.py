@@ -113,3 +113,86 @@ def make_synthetic_coco3d(
     ann_file = osp.join(root, "instances.json")
     json.dump(coco, open(ann_file, "w"))
     return ann_file, img_dir
+
+
+def make_synthetic_coco3d_scaled(src_ann, src_img_dir, dst_root, factor=1.5):
+    """Resolution-scaled twin of a synthetic set (the `data2` layout).
+
+    Mirrors the reference's pre-materialized 1.5x dataset root
+    (configs/3d-multi-resolution-rcnn.py data_root_2 'COCO-full-vol-1dot5x'):
+    volumes are trilinearly upscaled by `factor` in all three dims,
+    instance-label volumes nearest-neighbour upscaled, and annotation
+    boxes scaled into the new frame.  Image ids are preserved so merged
+    double_test detections resolve to the same full-volume gt ids.
+    """
+    from .. import native
+
+    img_dir = osp.join(dst_root, "volumes")
+    seg_dir = osp.join(dst_root, "annotations_full")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(seg_dir, exist_ok=True)
+
+    coco = json.load(open(src_ann))
+    images, annotations = [], []
+    seg_written = {}
+    for im in coco["images"]:
+        vol = np.load(osp.join(src_img_dir, im["file_name"]))  # (H, W, D)
+        h, w, d = vol.shape
+        oh, ow, od = (
+            int(round(h * factor)),
+            int(round(w * factor)),
+            int(round(d * factor)),
+        )
+        dhwc = np.ascontiguousarray(
+            np.transpose(vol, (2, 0, 1))[..., None].astype(np.float32)
+        )
+        out = native.resize_trilinear(dhwc, od, oh, ow)[..., 0]
+        np.save(
+            osp.join(img_dir, im["file_name"]),
+            np.transpose(out, (1, 2, 0)).astype(np.float32),
+        )
+        images.append(
+            dict(im, width=ow, height=oh)
+        )
+    for a in coco["annotations"]:
+        x, y, bw, bh, z, bd = a["bbox"]
+        b2 = [
+            x * factor,
+            y * factor,
+            bw * factor,
+            bh * factor,
+            z * factor,
+            bd * factor,
+        ]
+        a2 = dict(a, bbox=b2, area=int(a["area"] * factor**3))
+        src_seg = a.get("segmentation")
+        if isinstance(src_seg, str) and src_seg and osp.exists(src_seg):
+            dst_seg = osp.join(seg_dir, osp.basename(src_seg))
+            if src_seg not in seg_written:
+                lab = np.load(src_seg)  # (H, W, D) instance labels
+                hh, ww, dd = lab.shape
+                yi = np.clip(
+                    (np.arange(int(round(hh * factor))) / factor).astype(int),
+                    0, hh - 1,
+                )
+                xi = np.clip(
+                    (np.arange(int(round(ww * factor))) / factor).astype(int),
+                    0, ww - 1,
+                )
+                zi = np.clip(
+                    (np.arange(int(round(dd * factor))) / factor).astype(int),
+                    0, dd - 1,
+                )
+                np.save(dst_seg, lab[np.ix_(yi, xi, zi)])
+                seg_written[src_seg] = dst_seg
+            a2["segmentation"] = seg_written[src_seg]
+        annotations.append(a2)
+
+    out_coco = dict(
+        images=images,
+        annotations=annotations,
+        categories=coco["categories"],
+    )
+    ann_file = osp.join(dst_root, "instances.json")
+    json.dump(out_coco, open(ann_file, "w"))
+    return ann_file, img_dir

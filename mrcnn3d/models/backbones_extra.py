@@ -163,3 +163,142 @@ class ResNeXt3D(nn.Module):
             if i in self.out_indices:
                 outs.append(x)
         return tuple(outs)
+
+
+class L2Norm(nn.Module):
+    """Per-channel L2 normalisation with learned scale (reference
+    ssd_vgg.py:119-134, init scale 20)."""
+
+    scale: float = 20.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param(
+            "weight",
+            lambda k, s: jnp.full(s, self.scale, jnp.float32),
+            (x.shape[-1],),
+        )
+        norm = jnp.sqrt(
+            jnp.sum(jnp.square(x.astype(jnp.float32)), -1, keepdims=True)
+            + 1e-10
+        )
+        return (x / norm.astype(x.dtype)) * w.astype(x.dtype)
+
+
+# extra-layer channel plans per input size (reference ssd_vgg.py:16-17)
+_SSD_EXTRA = {
+    300: (256, "S", 512, 128, "S", 256, 128, 256, 128, 256),
+    512: (256, "S", 512, 128, "S", 256, 128, "S", 256, 128, "S", 256),
+}
+_VGG16_PLAN = ((2, 64), (2, 128), (3, 256), (3, 512), (3, 512))
+
+
+class SSDVGG(nn.Module):
+    """SSD's VGG16 backbone, evaluated in depth-1 (2-D family) mode
+    (reference mmdet/models/backbones/ssd_vgg.py:13-117).
+
+    Structure: VGG16 convs with ceil-mode 2x2 pools, pool5 3x3 stride 1,
+    dilated fc6 (3x3, dilation 6, 1024ch) + fc7 (1x1, 1024ch), then the
+    SSD extra pyramid (alternating 1x1 / stride-2 3x3 convs).  Outputs:
+    L2Norm(conv4_3), fc7, and every second extra layer — 6 maps for
+    input 300 (38/19/10/5/3/1), 7 for input 512.
+    """
+
+    input_size: int = 300
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        outs = []
+        li = 0
+        for si, (n_convs, ch) in enumerate(_VGG16_PLAN):
+            for _ in range(n_convs):
+                x = nn.relu(
+                    nn.Conv(
+                        ch,
+                        (1, 3, 3),
+                        padding=[(0, 0), (1, 1), (1, 1)],
+                        dtype=self.dtype,
+                        name=f"features_{li}",
+                    )(x)
+                )
+                li += 2  # conv + relu in the torch indexing
+            if si == 3:
+                outs.append(x)  # conv4_3 (pre-pool), stride 8
+            if si < 4:
+                # ceil-mode 2x2 pool: pad odd extents with -inf on the right
+                h, w = x.shape[2], x.shape[3]
+                x = max_pool_3d(
+                    x,
+                    (1, 2, 2),
+                    (1, 2, 2),
+                    [(0, 0), (0, h % 2), (0, w % 2)],
+                )
+                li += 1
+            else:
+                # pool5: 3x3 stride 1 pad 1 (ssd_vgg.py:35-37)
+                x = max_pool_3d(
+                    x, (1, 3, 3), (1, 1, 1), [(0, 0), (1, 1), (1, 1)]
+                )
+        # fc6 (dilated) + fc7 (ssd_vgg.py:38-46)
+        x = nn.relu(
+            nn.Conv(
+                1024,
+                (1, 3, 3),
+                padding=[(0, 0), (6, 6), (6, 6)],
+                kernel_dilation=(1, 6, 6),
+                dtype=self.dtype,
+                name="fc6",
+            )(x)
+        )
+        x = nn.relu(
+            nn.Conv(1024, (1, 1, 1), dtype=self.dtype, name="fc7")(x)
+        )
+        outs.append(x)
+        # extra pyramid (ssd_vgg.py:92-117)
+        plan = _SSD_EXTRA[self.input_size]
+        i = 0
+        ei = 0
+        while i < len(plan):
+            if plan[i] == "S":
+                x = nn.relu(
+                    nn.Conv(
+                        plan[i + 1],
+                        (1, 3, 3),
+                        strides=(1, 2, 2),
+                        padding=[(0, 0), (1, 1), (1, 1)],
+                        dtype=self.dtype,
+                        name=f"extra_{ei}",
+                    )(x)
+                )
+                i += 2
+            else:
+                k = 1 if ei % 2 == 0 else 3
+                x = nn.relu(
+                    nn.Conv(
+                        plan[i],
+                        (1, k, k),
+                        padding=[(0, 0), (0, 0), (0, 0)],
+                        dtype=self.dtype,
+                        name=f"extra_{ei}",
+                    )(x)
+                )
+                i += 1
+            if ei % 2 == 1:
+                outs.append(x)
+            ei += 1
+        if self.input_size == 512:
+            x = nn.relu(
+                nn.Conv(
+                    256,
+                    (1, 4, 4),
+                    padding=[(0, 0), (1, 1), (1, 1)],
+                    dtype=self.dtype,
+                    name=f"extra_{ei}",
+                )(x)
+            )
+            outs.append(x)
+        outs[0] = L2Norm(dtype=self.dtype, name="l2_norm")(outs[0])
+        return tuple(outs)

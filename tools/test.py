@@ -3,6 +3,12 @@
 
   python tools/test.py configs/mask_rcnn_3d_2scales.py ckpt_dir \
       --out results.pkl --eval bbox
+
+When the config carries a `data2` block (the dual-resolution offline
+protocol, reference tools/test.py:38-73 `double_test`), a second pass
+runs over the 1.5x test set with `test_cfg2` and both result sets are
+merged via the results2json3DMulti path (coco_utils.py:480-574) before
+the global NMS and a single evaluation against the 1.0x ground truth.
 """
 from __future__ import annotations
 
@@ -26,6 +32,13 @@ def parse_args():
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--gpu_collect", action="store_true",
                    help="accepted for reference-CLI parity")
+    p.add_argument(
+        "--double",
+        action="store_true",
+        help="force the dual-dataset double_test protocol (implied when "
+        "the config has a data2 block; with --synthetic, pass 2 runs a "
+        "1.5x twin of the synthetic set)",
+    )
     return p.parse_args()
 
 
@@ -90,12 +103,51 @@ def main():
     results, infos = out[0], out[1]
     segms = out[2] if len(out) > 2 else None
 
+    # double_test: second pass over the 1.5x dataset with test_cfg2
+    # (reference tools/test.py:38-73,123-139)
+    results2 = infos2 = None
+    use_double = args.double or "data2" in cfg
+    scale2 = 1.0 / cfg.get("upscale_factor", 1.5)
+    if use_double:
+        import copy
+
+        if args.synthetic:
+            from mrcnn3d.data.synthetic import make_synthetic_coco3d_scaled
+
+            ann2, img_dir2 = make_synthetic_coco3d_scaled(
+                ann_file, img_dir, root + "_1dot5x", 1.0 / scale2
+            )
+            te2 = te
+        else:
+            te2 = cfg.data2["test"]
+            ann2, img_dir2 = te2["ann_file"], te2["img_prefix"]
+        dataset2 = ds_cls(
+            ann2,
+            img_dir2,
+            img_norm_cfg=te2["img_norm_cfg"],
+            size_divisor=te2.get("size_divisor", 32),
+            with_mask=False,
+            test_mode=True,
+        )
+        cfg2 = copy.deepcopy(cfg)
+        cfg2["test_cfg"] = cfg2.get("test_cfg2", cfg2["test_cfg"])
+        results2, infos2 = run_inference(cfg2, model, variables, dataset2)[:2]
+
     if args.out:
         with open(args.out, "wb") as f:
-            pickle.dump(results, f)
+            pickle.dump(
+                results if results2 is None else results + results2, f
+            )
 
     if "bbox" in args.eval:
-        entries = results2json3d(results, infos)
+        if results2 is not None:
+            from mrcnn3d.eval.results import results2json3d_multi
+
+            entries = results2json3d_multi(
+                results, infos, results2, infos2, scale2=scale2
+            )
+        else:
+            entries = results2json3d(results, infos)
         evaluator = CocoEval3D(dataset.coco, entries)
         for k, v in evaluator.named_stats().items():
             print(f"{k}: {v:.4f}")
