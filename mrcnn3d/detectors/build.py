@@ -30,6 +30,16 @@ _TYPES = {
     "CascadeRCNN": dict(num_scales=1, with_mask=False, two_d=True,
                         cascade=True),
     "CascadeRCNN3D": dict(num_scales=1, with_mask=False, cascade=True),
+    # HTC (reference mmdet/models/detectors/htc.py): cascade with
+    # interleaved per-stage mask heads (info flow) + fused semantic branch
+    "HybridTaskCascade": dict(num_scales=1, with_mask=True, two_d=True,
+                              cascade=True, htc=True),
+    "HybridTaskCascade3D": dict(num_scales=1, with_mask=True,
+                                cascade=True, htc=True),
+    # SSD (reference single_stage.py + ssd_head.py): VGG backbone, no
+    # neck, per-level anchor counts, softmax cls + hard-negative mining
+    "SSD": dict(num_scales=1, with_bbox=False, with_mask=False,
+                single_stage=True, two_d=True, ssd=True),
     "FasterRCNN3D": dict(num_scales=1, with_mask=False),
     "MaskRCNN3D": dict(num_scales=1),
     "MaskRCNN3D2Scales": dict(num_scales=2, with_refinement=True),
@@ -73,15 +83,33 @@ def build_detector(cfg, dtype=jnp.float32):
     two_d = flags.pop("two_d", False)
     single_stage = flags.pop("single_stage", False)
     cascade = flags.pop("cascade", False)
+    htc = flags.pop("htc", False)
+    ssd = flags.pop("ssd", False)
     cascade_stages = 0
     if cascade:
         rcnn = cfg.train_cfg.get("rcnn") if "train_cfg" in cfg else None
         cascade_stages = len(rcnn) if isinstance(rcnn, (list, tuple)) else 3
+    sem = m.get("semantic_head")
+    extra = {}
+    if htc:
+        extra["htc"] = True
+        extra["with_semantic"] = sem is not None
+        if sem is not None:
+            extra["semantic_num_classes"] = sem.get("num_classes", 2)
+            extra["semantic_fusion_level"] = sem.get("fusion_level", 1)
+    if ssd:
+        extra["ssd"] = True
+        bb = m["backbone"]
+        extra["ssd_input_size"] = bb.get("input_size", 300)
+        extra["ssd_num_anchors"] = tuple(
+            len(r) * 2 + 2 for r in m["bbox_head"]["anchor_ratios"]
+        )
     base_width = m["backbone"].get(
         "base_width", 64 if two_d else 16
     )
     bbox_roi = m.get("bbox_roi_extractor", {}).get("roi_layer", {})
     mask_roi = m.get("mask_roi_extractor", {}).get("roi_layer", {})
+    neck = m.get("neck") or {}
     return Detector3D(
         roi_size=bbox_roi.get("out_size", 7),
         roi_size_depth=bbox_roi.get("out_size_depth", 3),
@@ -94,14 +122,15 @@ def build_detector(cfg, dtype=jnp.float32):
         single_stage=single_stage,
         cascade_stages=cascade_stages,
         num_parcellations=num_parcellations,
-        fpn_channels=m["neck"]["out_channels"],
-        num_outs=m["neck"]["num_outs"],
+        fpn_channels=neck.get("out_channels", 64),
+        num_outs=neck.get("num_outs", 5),
         num_classes=bbox_head.get("num_classes", 2),
         num_anchors=num_anchors,
         fc_out_channels=bbox_head.get("fc_out_channels", 1024),
         mask_convs=m.get("mask_head", {}).get("num_convs", 4),
         remat=m.get("backbone", {}).get("with_cp", False),
         dtype=dtype,
+        **extra,
         **flags,
     )
 

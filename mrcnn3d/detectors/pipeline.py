@@ -46,7 +46,10 @@ from ..ops.losses import (
     weighted_smoothl1,
 )
 from ..ops.nms3d import nms_3d
-from ..ops.roi_align3d import multi_level_roi_align_3d
+from ..ops.roi_align3d import (
+    multi_level_roi_align_3d,
+    multi_level_roi_align_3d_chunked,
+)
 
 RPN_MEANS = (0.0,) * 6
 RPN_STDS = (1.0,) * 6
@@ -735,8 +738,13 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
 # ---------------------------------------------------------------------------
 
 
-def _roi_align_cfg(feats, rois, roi_cfg, valid=None):
-    return multi_level_roi_align_3d(
+def _roi_align_cfg(feats, rois, roi_cfg, valid=None, chunk=0):
+    fn = multi_level_roi_align_3d
+    kw = {}
+    if chunk and rois.shape[0] > chunk:
+        fn = multi_level_roi_align_3d_chunked
+        kw["chunk"] = chunk
+    return fn(
         list(feats[: len(roi_cfg["featmap_strides"])]),
         rois,
         roi_cfg["roi_layer"]["out_size"],
@@ -745,6 +753,7 @@ def _roi_align_cfg(feats, rois, roi_cfg, valid=None):
         roi_cfg["featmap_strides_depth"],
         roi_cfg["roi_layer"]["sample_num"],
         valid=valid,
+        **kw,
     )
 
 
@@ -909,7 +918,10 @@ def simple_test(
         mask_roi_cfg = cfg.model["mask_roi_extractor"]
         det_boxes = dets[..., :6]
         rois, rvalid = flat_rois(det_boxes, dvalid)
-        mfeats = _roi_align_cfg(feats_s[0], rois, mask_roi_cfg, rvalid)
+        mfeats = _roi_align_cfg(
+            feats_s[0], rois, mask_roi_cfg, rvalid,
+            chunk=int(test_cfg.get("mask_roi_chunk", 512)),
+        )
         mpred = apply(mfeats, 0, method=model.mask_forward)
         if model.with_refinement_mask and model.num_scales >= 2:
             m1 = boxes_s[0].shape[1]  # rows < m1 came from the 1.0x path
@@ -947,8 +959,84 @@ def bbox2result3d(dets, labels, valid, num_classes):
 # ---------------------------------------------------------------------------
 
 
+def _semantic_roi_feats(sem_feat, rois, rvalid, cfg, out, out_d):
+    """RoI-align the fused semantic feature and pool to the target roi
+    grid (reference htc.py:57-63: semantic_roi_extractor + adaptive
+    avg-pool when sizes differ).  Pooling requires integer ratios, which
+    covers the reference configs (14 -> 7 = 2x2 mean)."""
+    scfg = cfg.model.get("semantic_roi_extractor", {})
+    layer = scfg.get("roi_layer", {})
+    s_out = layer.get("out_size", out)
+    s_out_d = layer.get("out_size_depth", out_d)
+    strides = scfg.get("featmap_strides", [8])
+    strides_d = scfg.get("featmap_strides_depth", [4])
+    x = multi_level_roi_align_3d(
+        [sem_feat], rois, s_out, s_out_d, strides, strides_d,
+        layer.get("sample_num", 2), valid=rvalid,
+    )
+    if s_out != out or s_out_d != out_d:
+        rd, rh = s_out_d // out_d, s_out // out
+        n, _, _, _, c = x.shape
+        x = x.reshape(n, out_d, rd, out, rh, out, rh, c).mean(
+            axis=(2, 4, 6)
+        )
+    return x
+
+
+def _htc_mask_stage_loss(
+    model, apply, feats, sem_feat, samples, stage, batch, cfg, rc
+):
+    """One HTC mask stage: pos rois -> roi feats (+semantic fusion) ->
+    info-flow through heads 0..stage-1 -> stage logits -> mask BCE
+    (reference htc.py:72-111)."""
+    mask_roi_cfg = cfg.model["mask_roi_extractor"]
+    fusion = tuple(cfg.model.get("semantic_fusion", ("bbox", "mask")))
+    pos_quota = int(
+        round(rc["sampler"]["num"] * rc["sampler"]["pos_fraction"])
+    )
+    pos_rois = samples.rois[:, :pos_quota]
+    pos_mask = samples.is_pos[:, :pos_quota]
+    pos_gt = samples.gt_idx[:, :pos_quota]
+    pos_labels = samples.labels[:, :pos_quota]
+
+    rois, rvalid = flat_rois(pos_rois, pos_mask)
+    mfeats = _roi_align_cfg(feats, rois, mask_roi_cfg, rvalid)
+    if sem_feat is not None and "mask" in fusion:
+        mfeats = mfeats + _semantic_roi_feats(
+            sem_feat, rois, rvalid, cfg,
+            mask_roi_cfg["roi_layer"]["out_size"],
+            mask_roi_cfg["roi_layer"]["out_size_depth"],
+        )
+    last = None
+    if cfg.model.get("mask_info_flow", True):
+        for i in range(stage):
+            # gradients flow through earlier heads, as in the reference
+            # (htc.py:98-103 runs them inside the training graph)
+            _, last = apply(
+                mfeats, last, i, False, method=model.htc_mask_forward
+            )
+    mpred, _ = apply(mfeats, last, stage, method=model.htc_mask_forward)
+    mtargets = jax.vmap(
+        lambda pr, pm, pgi, gm: mask_target_single(
+            pr, pm, pgi, gm, rc["mask_size"], rc["mask_size_depth"]
+        )
+    )(pos_rois, pos_mask, pos_gt, batch["gt_masks"])
+    flat_targets = mtargets.reshape(
+        -1, rc["mask_size_depth"], rc["mask_size"], rc["mask_size"]
+    )
+    return mask_cross_entropy(
+        mpred, flat_targets, pos_labels.reshape(-1), valid=rvalid
+    )
+
+
 def cascade_forward_train(model, variables, batch, rng, cfg, anchor_sets):
-    """Training losses for CascadeRCNN(3D)."""
+    """Training losses for CascadeRCNN(3D) and HybridTaskCascade(3D).
+
+    HTC additions (reference htc.py:156-264): fused semantic branch
+    (+CE loss, feature fused into bbox/mask roi feats), interleaved
+    mask stages trained on the CURRENT stage's regressed boxes, and
+    mask-information flow through the previous stages' mask heads.
+    """
     train_cfg = cfg.train_cfg
     num_classes = model.num_classes
     apply = functools.partial(model.apply, variables)
@@ -971,7 +1059,7 @@ def cascade_forward_train(model, variables, batch, rng, cfg, anchor_sets):
     )
 
     losses = {}
-    rngs = jax.random.split(rng, 2 + model.cascade_stages)
+    rngs = jax.random.split(rng, 2 + 2 * model.cascade_stages)
     feats = apply(imgs, method=model.extract_feat)
     rpn_outs = apply(feats, 0, method=model.rpn)
     cls_outs = [o[0] for o in rpn_outs]
@@ -990,6 +1078,29 @@ def cascade_forward_train(model, variables, batch, rng, cfg, anchor_sets):
     pboxes = jax.lax.stop_gradient(pboxes)
     roi_cfg = cfg.model["bbox_roi_extractor"]
 
+    # ---- HTC fused semantic branch (reference htc.py:183-190) ----
+    sem_feat = None
+    fusion = tuple(cfg.model.get("semantic_fusion", ("bbox", "mask")))
+    if getattr(model, "with_semantic", False):
+        sem_cfg = cfg.model.get("semantic_head", {})
+        sem_logits, sem_feat = apply(feats, method=model.semantic_forward)
+        if "gt_semantic_seg" in batch:
+            gt_seg = batch["gt_semantic_seg"].astype(jnp.int32)
+            ignore = int(sem_cfg.get("ignore_label", 255))
+            lw = float(sem_cfg.get("loss_weight", 0.2))
+            logp = jax.nn.log_softmax(
+                sem_logits.astype(jnp.float32), axis=-1
+            )
+            keep = (gt_seg != ignore) & (gt_seg >= 0)
+            safe = jnp.where(keep, gt_seg, 0)
+            nll = -jnp.take_along_axis(
+                logp, safe[..., None], axis=-1
+            )[..., 0]
+            denom = jnp.maximum(jnp.sum(keep), 1.0)
+            losses["loss_semantic_seg"] = lw * jnp.sum(
+                jnp.where(keep, nll, 0.0)
+            ) / denom
+
     for t, rc in enumerate(rcnn_cfgs[: model.cascade_stages]):
         keys = jax.random.split(rngs[2 + t], b)
         samples = jax.vmap(
@@ -1000,6 +1111,12 @@ def cascade_forward_train(model, variables, batch, rng, cfg, anchor_sets):
         )(keys, pboxes, pvalid, gtb, gtv, gtl)
         rois, rvalid = flat_rois(samples.rois, samples.roi_valid)
         roi_feats = _roi_align_cfg(feats, rois, roi_cfg, rvalid)
+        if sem_feat is not None and "bbox" in fusion:
+            roi_feats = roi_feats + _semantic_roi_feats(
+                sem_feat, rois, rvalid, cfg,
+                roi_cfg["roi_layer"]["out_size"],
+                roi_cfg["roi_layer"]["out_size_depth"],
+            )
         cls_score, bbox_pred = apply(roi_feats, t, method=model.bbox_forward)
 
         labels = samples.labels.reshape(-1)
@@ -1035,12 +1152,37 @@ def cascade_forward_train(model, variables, batch, rng, cfg, anchor_sets):
         pboxes = decoded.reshape(b, -1, 6)
         pvalid = samples.roi_valid
 
+        # ---- HTC interleaved mask stage (reference htc.py:228-255) ----
+        if model.with_mask and getattr(model, "htc", False):
+            if cfg.model.get("interleaved", True):
+                # re-assign/sample against THIS stage's regressed boxes
+                mkeys = jax.random.split(
+                    rngs[2 + model.cascade_stages + t], b
+                )
+                msamples = jax.vmap(
+                    lambda k, pb, pv, gb, gv, gl: sample_rcnn_single(
+                        k, pb, pv, gb, gv, gl, rc, means, stds,
+                        num_classes=num_classes, reg_class_agnostic=True,
+                    )
+                )(mkeys, pboxes, pvalid, gtb, gtv, gtl)
+            else:
+                msamples = samples
+            losses[f"s{t}.loss_mask"] = float(
+                stage_weights[t]
+            ) * _htc_mask_stage_loss(
+                model, apply, feats, sem_feat, msamples, t,
+                batch, cfg, rc,
+            )
+
     total = sum(v for k, v in losses.items() if "loss" in k)
     return total, losses
 
 
 def cascade_simple_test(model, variables, batch, cfg, anchor_sets):
-    """Inference for CascadeRCNN(3D): iterate heads, average stage scores."""
+    """Inference for CascadeRCNN(3D) / HTC: iterate heads, average stage
+    scores; HTC fuses the semantic feature into every roi pass and
+    ensembles the per-stage mask heads with info flow
+    (reference htc.py:266-389)."""
     test_cfg = cfg.test_cfg
     rcnn_test = test_cfg["rcnn"]
     apply = functools.partial(model.apply, variables)
@@ -1063,11 +1205,22 @@ def cascade_simple_test(model, variables, batch, cfg, anchor_sets):
         means=rpn_means,
         stds=rpn_stds,
     )
+    sem_feat = None
+    fusion = tuple(cfg.model.get("semantic_fusion", ("bbox", "mask")))
+    if getattr(model, "with_semantic", False):
+        _, sem_feat = apply(feats, method=model.semantic_forward)
+
     boxes = pboxes
     score_sum = None
     for t in range(model.cascade_stages):
         rois, rvalid = flat_rois(boxes, pvalid)
         roi_feats = _roi_align_cfg(feats, rois, roi_cfg, rvalid)
+        if sem_feat is not None and "bbox" in fusion:
+            roi_feats = roi_feats + _semantic_roi_feats(
+                sem_feat, rois, rvalid, cfg,
+                roi_cfg["roi_layer"]["out_size"],
+                roi_cfg["roi_layer"]["out_size_depth"],
+            )
         cls_score, bbox_pred = apply(roi_feats, t, method=model.bbox_forward)
         sc = jax.nn.softmax(cls_score, axis=-1)
         score_sum = sc if score_sum is None else score_sum + sc
@@ -1085,4 +1238,42 @@ def cascade_simple_test(model, variables, batch, cfg, anchor_sets):
         )
 
     dets, labels, dvalid, _ = jax.vmap(nms_one)(boxes, scores, pvalid)
-    return dict(dets=dets, labels=labels, valid=dvalid)
+    out = dict(dets=dets, labels=labels, valid=dvalid)
+
+    if model.with_mask and getattr(model, "htc", False) and not (
+        test_cfg.get("return_bbox_only", False)
+    ):
+        # per-stage mask ensemble with info flow (reference htc.py:340-371:
+        # merge_aug_masks averages sigmoid scores across stages)
+        mask_roi_cfg = cfg.model["mask_roi_extractor"]
+        mrois, mrvalid = flat_rois(dets[..., :6], dvalid)
+        mfeats = _roi_align_cfg(
+            feats, mrois, mask_roi_cfg, mrvalid,
+            chunk=int(test_cfg.get("mask_roi_chunk", 512)),
+        )
+        if sem_feat is not None and "mask" in fusion:
+            mfeats = mfeats + _semantic_roi_feats(
+                sem_feat, mrois, mrvalid, cfg,
+                mask_roi_cfg["roi_layer"]["out_size"],
+                mask_roi_cfg["roi_layer"]["out_size_depth"],
+            )
+        last = None
+        prob_sum = None
+        for t in range(model.cascade_stages):
+            if cfg.model.get("mask_info_flow", True):
+                logits, last = apply(
+                    mfeats, last, t, method=model.htc_mask_forward
+                )
+            else:
+                logits, _ = apply(
+                    mfeats, None, t, method=model.htc_mask_forward
+                )
+            p = jax.nn.sigmoid(logits.astype(jnp.float32))
+            prob_sum = p if prob_sum is None else prob_sum + p
+        mean_p = jnp.clip(
+            prob_sum / model.cascade_stages, 1e-6, 1.0 - 1e-6
+        )
+        # return as logits so downstream sigmoid recovers the ensemble
+        # probability exactly (eval/masks.py applies sigmoid)
+        out["mask_logits"] = jnp.log(mean_p) - jnp.log1p(-mean_p)
+    return out

@@ -29,6 +29,8 @@ from flax import linen as nn
 from .fpn3d import FPN3D
 from .heads import (
     FCNMaskHead3D,
+    FusedSemanticHead3D,
+    HTCMaskHead3D,
     RetinaHead3D,
     RPNHead3D,
     SharedFCBBoxHead3D,
@@ -57,6 +59,10 @@ class Detector3D(nn.Module):
     num_parcellations: int = 0  # >0 adds the brain-region branch
     single_stage: bool = False  # RetinaNet-style head (focal loss, no RCNN)
     cascade_stages: int = 0  # >0: Cascade R-CNN iterative bbox heads
+    htc: bool = False  # HybridTaskCascade: per-stage mask heads w/ info flow
+    with_semantic: bool = False  # HTC fused semantic branch
+    semantic_num_classes: int = 2
+    semantic_fusion_level: int = 1
     stacked_convs: int = 4
     fc_out_channels: int = 1024
     mask_convs: int = 4
@@ -139,18 +145,42 @@ class Detector3D(nn.Module):
                 dtype=self.dtype,
             )
         if self.with_mask:
-            n_mask_heads = 1 if self.share_heads else self.num_scales
-            self.mask_heads = [
-                FCNMaskHead3D(
-                    num_convs=self.mask_convs,
-                    conv_out_channels=self.fpn_channels,
-                    num_classes=self.num_classes,
-                    two_d=self.two_d,
-                    dtype=self.dtype,
-                    name=f"mask_head_{s}",
-                )
-                for s in range(n_mask_heads)
-            ]
+            if self.htc and self.cascade_stages > 0:
+                # HTC: one mask head per cascade stage, each with the
+                # info-flow conv_res (reference htc_mask_head.py:7-38)
+                self.mask_heads = [
+                    HTCMaskHead3D(
+                        num_convs=self.mask_convs,
+                        conv_out_channels=self.fpn_channels,
+                        num_classes=self.num_classes,
+                        two_d=self.two_d,
+                        dtype=self.dtype,
+                        name=f"mask_head_{s}",
+                    )
+                    for s in range(self.cascade_stages)
+                ]
+            else:
+                n_mask_heads = 1 if self.share_heads else self.num_scales
+                self.mask_heads = [
+                    FCNMaskHead3D(
+                        num_convs=self.mask_convs,
+                        conv_out_channels=self.fpn_channels,
+                        num_classes=self.num_classes,
+                        two_d=self.two_d,
+                        dtype=self.dtype,
+                        name=f"mask_head_{s}",
+                    )
+                    for s in range(n_mask_heads)
+                ]
+        if self.with_semantic:
+            self.semantic_head = FusedSemanticHead3D(
+                fusion_level=self.semantic_fusion_level,
+                num_ins=self.num_outs,
+                conv_out_channels=self.fpn_channels,
+                num_classes=self.semantic_num_classes,
+                two_d=self.two_d,
+                dtype=self.dtype,
+            )
         if self.with_refinement_mask:
             self.refinement_mask_head = FCNMaskHead3D(
                 num_convs=self.mask_convs,
@@ -178,8 +208,24 @@ class Detector3D(nn.Module):
         return self.refinement_head(roi_feats)
 
     def mask_forward(self, roi_feats, scale: int = 0):
+        if self.htc:
+            logits, _ = self.mask_heads[scale](roi_feats)
+            return logits
         head = self.mask_heads[0 if self.share_heads else scale]
         return head(roi_feats)
+
+    def htc_mask_forward(
+        self, roi_feats, res_feat, stage: int, return_logits: bool = True
+    ):
+        """HTC per-stage mask forward with mask-information flow
+        (reference htc.py:98-105,141-154).  Returns (logits|None, feat)."""
+        return self.mask_heads[stage](
+            roi_feats, res_feat, return_logits=return_logits
+        )
+
+    def semantic_forward(self, feats):
+        """(logits, embedding) of the fused semantic branch."""
+        return self.semantic_head(feats)
 
     def refinement_mask_forward(self, roi_feats):
         return self.refinement_mask_head(roi_feats)
@@ -210,9 +256,20 @@ class Detector3D(nn.Module):
         if self.with_refinement:
             extras["refinement"] = self.refinement_forward(bbox_dummy)
         if self.with_mask:
-            n = 1 if self.share_heads else self.num_scales
-            for s in range(n):
-                extras[f"mask_{s}"] = self.mask_forward(mask_dummy, s)
+            if self.htc and self.cascade_stages > 0:
+                # pass a res_feat to stages > 0 so conv_res params exist
+                # (stage 0 never receives info flow, reference htc.py:99-103)
+                last = None
+                for s in range(self.cascade_stages):
+                    extras[f"mask_{s}"], last = self.htc_mask_forward(
+                        mask_dummy, last, s
+                    )
+            else:
+                n = 1 if self.share_heads else self.num_scales
+                for s in range(n):
+                    extras[f"mask_{s}"] = self.mask_forward(mask_dummy, s)
+        if self.with_semantic:
+            extras["semantic"] = self.semantic_forward(feats)
         if self.with_refinement_mask:
             extras["refinement_mask"] = self.refinement_mask_forward(
                 mask_dummy

@@ -242,3 +242,63 @@ def test_pallas_crop_align_matches_xla_interpret():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=2e-4
     )
+
+
+def test_chunked_matches_unchunked():
+    from mrcnn3d.ops.roi_align3d import multi_level_roi_align_3d_chunked
+
+    rng = np.random.RandomState(13)
+    feats = [
+        jnp.asarray(rng.randn(2, 16, 32, 32, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(2, 8, 16, 16, 8).astype(np.float32)),
+    ]
+    n = 37  # not a multiple of chunk -> exercises remainder padding
+    x1 = rng.uniform(0, 80, n)
+    y1 = rng.uniform(0, 80, n)
+    z1 = rng.uniform(0, 20, n)
+    rois = jnp.asarray(
+        np.stack(
+            [rng.randint(0, 2, n).astype(np.float64), x1, y1,
+             x1 + rng.uniform(4, 60, n), y1 + rng.uniform(4, 60, n),
+             z1, z1 + rng.uniform(2, 10, n)], -1,
+        ).astype(np.float32)
+    )
+    valid = jnp.asarray(rng.rand(n) > 0.2)
+    full = multi_level_roi_align_3d(
+        feats, rois, 7, 3, [4, 8], [2, 4], 2, valid=valid
+    )
+    chunked = multi_level_roi_align_3d_chunked(
+        feats, rois, 7, 3, [4, 8], [2, 4], 2, valid=valid, chunk=16
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked), np.asarray(full), atol=1e-5
+    )
+
+
+def test_rowslab_matches_gather():
+    from mrcnn3d.ops.roi_align3d import multi_level_roi_align_3d_rowslab
+
+    rng = np.random.RandomState(14)
+    feats = [
+        jnp.asarray(rng.randn(2, 16, 32, 32, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(2, 8, 16, 16, 8).astype(np.float32)),
+    ]
+    n = 24
+    x1 = rng.uniform(0, 80, n)
+    y1 = rng.uniform(0, 80, n)
+    z1 = rng.uniform(0, 20, n)
+    rois = jnp.asarray(
+        np.stack(
+            [rng.randint(0, 2, n).astype(np.float64), x1, y1,
+             x1 + rng.uniform(4, 60, n), y1 + rng.uniform(4, 60, n),
+             z1, z1 + rng.uniform(2, 10, n)], -1,
+        ).astype(np.float32)
+    )
+    valid = jnp.asarray(rng.rand(n) > 0.2)
+    ref = multi_level_roi_align_3d(
+        feats, rois, 7, 3, [4, 8], [2, 4], 2, valid=valid
+    )
+    got = multi_level_roi_align_3d_rowslab(
+        feats, rois, 7, 3, [4, 8], [2, 4], 2, valid=valid
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
