@@ -1,9 +1,16 @@
-"""Benchmark: flagship two-scale 3D Mask R-CNN inference throughput.
+"""Benchmark: flagship two-scale 3D Mask R-CNN throughput + MFU.
 
-Measures end-to-end whole-patch inference (backbone + FPN + dual RPN +
-proposals + shared bbox head + refinement + multiclass NMS) on one chip, in
-bfloat16, on the BASELINE.md config-1 patch geometry: a 512x512x64 SWI patch
-at 1.0x plus its 768x768x96 1.5x twin.
+Primary metric: end-to-end whole-patch inference (backbone + FPN + dual
+RPN + proposals + shared bbox head + refinement + multiclass NMS) on one
+chip, in bfloat16, on the BASELINE.md config-1 patch geometry: a
+512x512x64 SWI patch at 1.0x plus its 768x768x96 1.5x twin.
+
+Also measured and reported as extra keys on the same JSON line:
+  * train_step_s / train_vols_per_s — full jitted train step (fwd+bwd+
+    SGD chain) at the reference train-crop geometry (128x128x64 @1.0x +
+    192x192x96 @1.5x, batch 1)
+  * mfu_infer / mfu_train — model FLOP utilisation from XLA's compiled
+    cost analysis against the v5e bf16 peak (197 TFLOP/s)
 
 The reference publishes no benchmark numbers (BASELINE.md — paper under
 review, private dataset), so `vs_baseline` is reported against the
@@ -11,7 +18,8 @@ throughput recorded in the previous round's BENCH_r{N}.json when present,
 else 1.0 (self-baseline for round 1).
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "volumes/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "volumes/sec/chip", "vs_baseline": N,
+   ...extras}
 """
 from __future__ import annotations
 
@@ -82,7 +90,22 @@ def main():
         )
         return out["dets"], out["valid"]
 
+    # v5e (TPU v5 lite) bf16 peak per chip
+    PEAK_FLOPS = 197e12
+
+    def flops_of(compiled):
+        try:
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0))
+        except Exception:
+            return 0.0
+
     # warmup / compile
+    lowered = infer.lower(jax.random.PRNGKey(1))
+    compiled_infer = lowered.compile()
+    infer_flops = flops_of(compiled_infer)
     dets, valid = infer(jax.random.PRNGKey(1))
     jax.block_until_ready(dets)
 
@@ -93,26 +116,134 @@ def main():
     jax.block_until_ready(dets)
     dt = (time.perf_counter() - t0) / iters
     value = 1.0 / dt  # volumes (patch pairs) per second per chip
+    mfu_infer = infer_flops / dt / PEAK_FLOPS if infer_flops else None
+
+    # ---- optional mask-path (segm) inference timing ----
+    # adds a second full-model compile; opt-in to keep the driver run
+    # bounded (recorded numbers live in README/ROADMAP)
+    segm_dt = None
+    if os.environ.get("MRCNN3D_BENCH_SEGM"):
+        import copy
+
+        scfg = copy.deepcopy(cfg)
+        scfg.test_cfg["return_bbox_only"] = False
+
+        @jax.jit
+        def infer_segm(key):
+            k1, k2 = jax.random.split(key)
+            imgs = jax.random.normal(k1, (1, d, h, w, 3), jnp.bfloat16)
+            imgs2 = jax.random.normal(
+                k2, (1, d2, h2, w2, 3), jnp.bfloat16
+            )
+            out = pl.simple_test(
+                model, variables, dict(imgs=imgs, imgs_2=imgs2), scfg,
+                sets,
+            )
+            return out["dets"], out["mask_logits"]
+
+        dd, mm = infer_segm(jax.random.PRNGKey(4))
+        jax.block_until_ready(mm)
+        t0 = time.perf_counter()
+        for i in range(6):
+            dd, mm = infer_segm(
+                jax.random.fold_in(jax.random.PRNGKey(5), i)
+            )
+        jax.block_until_ready(mm)
+        segm_dt = (time.perf_counter() - t0) / 6
+
+    # ---- training step at the reference crop geometry ----
+    from mrcnn3d.train.optim import make_optimizer, step_lr_schedule
+    from mrcnn3d.train.step import create_train_state, make_train_step
+
+    ch, cw, cd = cfg.static_shapes["crop_size"]
+    c2 = (int(ch * 1.5), int(cw * 1.5), int(cd * 1.5))
+    max_gt = cfg.static_shapes["max_gt"]
+    tsets = []
+    for (hh, ww, dd), ac in zip([(ch, cw, cd), c2], acs):
+        x = jnp.zeros((1, dd, hh, ww, 3), jnp.bfloat16)
+        feats = jax.eval_shape(
+            lambda v: model.apply(variables, v, method=model.extract_feat), x
+        )
+        fs = [f.shape[1:4] for f in feats]
+        tsets.append(pl.build_anchor_set(fs, (hh, ww, 3, dd), ac))
+    sched = step_lr_schedule(cfg.optimizer["lr"], [], 100)
+    tx = make_optimizer(
+        cfg.optimizer, cfg.optimizer_config.get("grad_clip"), sched
+    )
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        jnp.zeros((1, 8, 64, 64, 3), jnp.bfloat16), tx,
+    )
+    train_step = make_train_step(model, tx, cfg, tsets)
+
+    def make_batch(key):
+        ks = jax.random.split(key, 4)
+        batch = {}
+        for s, (hh, ww, dd) in enumerate([(ch, cw, cd), c2]):
+            sfx = "" if s == 0 else "_2"
+            f = 1.5 ** s
+            batch["imgs" + sfx] = jax.random.normal(
+                ks[s], (1, dd, hh, ww, 3), jnp.bfloat16
+            )
+            x1 = jax.random.uniform(ks[2], (1, max_gt, 1), minval=4,
+                                    maxval=hh * 0.6) * f
+            wsz = jax.random.uniform(ks[3], (1, max_gt, 1), minval=8,
+                                     maxval=hh * 0.3) * f
+            batch["gt_boxes" + sfx] = jnp.concatenate(
+                [x1, x1, x1 + wsz, x1 + wsz,
+                 jnp.full_like(x1, 2.0 * f), jnp.full_like(x1, 14.0 * f)],
+                axis=-1,
+            )
+            batch["gt_valid" + sfx] = jnp.ones((1, max_gt), bool)
+            batch["gt_labels" + sfx] = jnp.ones((1, max_gt), jnp.int32)
+        batch["gt_masks"] = jnp.ones((1, max_gt, cd, ch, cw), jnp.uint8)
+        return batch
+
+    batch0 = make_batch(jax.random.PRNGKey(7))
+    t_lower = train_step.lower(state, batch0, jax.random.PRNGKey(8))
+    compiled_train = t_lower.compile()
+    train_flops = flops_of(compiled_train)
+    state, _ = train_step(state, batch0, jax.random.PRNGKey(8))
+    jax.block_until_ready(state.params)
+    t_iters = 8
+    t0 = time.perf_counter()
+    for i in range(t_iters):
+        state, metrics = train_step(
+            state, make_batch(jax.random.fold_in(jax.random.PRNGKey(9), i)),
+            jax.random.fold_in(jax.random.PRNGKey(10), i),
+        )
+    jax.block_until_ready(state.params)
+    train_dt = (time.perf_counter() - t0) / t_iters
+    mfu_train = (
+        train_flops / train_dt / PEAK_FLOPS if train_flops else None
+    )
 
     prev = None
     for f in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         try:
             rec = json.load(open(f))
+            rec = rec.get("parsed", rec)  # driver wraps under "parsed"
             prev = rec.get("value", prev)
         except Exception:
             pass
     vs = value / prev if prev else 1.0
 
-    print(
-        json.dumps(
-            {
-                "metric": "2-scale MaskRCNN3D bbox inference, 512x512x64 patch",
-                "value": round(value, 4),
-                "unit": "volumes/sec/chip",
-                "vs_baseline": round(vs, 4),
-            }
-        )
-    )
+    rec = {
+        "metric": "2-scale MaskRCNN3D bbox inference, 512x512x64 patch",
+        "value": round(value, 4),
+        "unit": "volumes/sec/chip",
+        "vs_baseline": round(vs, 4),
+        "infer_step_s": round(dt, 4),
+        "train_step_s": round(train_dt, 4),
+        "train_vols_per_s": round(1.0 / train_dt, 4),
+    }
+    if mfu_infer is not None:
+        rec["mfu_infer"] = round(mfu_infer, 4)
+    if mfu_train is not None:
+        rec["mfu_train"] = round(mfu_train, 4)
+    if segm_dt is not None:
+        rec["infer_segm_step_s"] = round(segm_dt, 4)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -80,11 +80,20 @@ class InferenceRunner:
         return result
 
 
-def run_inference(cfg, model, variables, dataset, progress=True):
-    """Returns (per-image per-class results, img_infos)."""
+def run_inference(
+    cfg, model, variables, dataset, progress=True, rank=0, world=1
+):
+    """Returns (per-image per-class results, img_infos).
+
+    rank/world > 1 evaluates the rank-strided shard idx % world == rank,
+    mirroring the reference's distributed eval hook
+    (mmdet/core/evaluation/eval_hooks.py:111-149); callers merge the
+    per-rank entries (image ids travel with each entry) via
+    `allgather_entries`.
+    """
     runner = InferenceRunner(cfg, model, variables)
     results, infos, segms = [], [], []
-    for idx in range(len(dataset)):
+    for idx in range(rank, len(dataset), world):
         sample = dataset.prepare_test(idx)
         out = runner(sample)
         dets, labels, valid = out[:3]
@@ -119,17 +128,53 @@ def run_inference(cfg, model, variables, dataset, progress=True):
     return results, infos
 
 
-def evaluate_dataset(cfg, model, state, dataset, iou_type="bbox"):
+def allgather_entries(entries):
+    """Merge per-rank result-entry lists across JAX processes.
+
+    Host-side pytree-free gather (entries are python dicts): pickle to a
+    padded uint8 buffer, `multihost_utils.process_allgather`, unpickle.
+    A no-op in single-process runs.  Mirrors the reference hook's
+    tmpfile broadcast (eval_hooks.py:122-148) over ICI/DCN collectives
+    instead of a shared filesystem.
+    """
+    if jax.process_count() == 1:
+        return entries
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(entries), np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.array([payload.size], np.int64)
+    ).ravel()
+    buf = np.zeros(int(sizes.max()), np.uint8)
+    buf[: payload.size] = payload
+    bufs = multihost_utils.process_allgather(buf)
+    merged = []
+    for sz, b in zip(sizes, np.asarray(bufs).reshape(len(sizes), -1)):
+        merged.extend(pickle.loads(b[: int(sz)].tobytes()))
+    return merged
+
+
+def evaluate_dataset(
+    cfg, model, state, dataset, iou_type="bbox", rank=0, world=1
+):
     """In-loop / offline evaluation: 29-stat 3-D COCO summary.
 
     iou_type 'segm' requires the model's mask path (test_cfg
     return_bbox_only=False); detections are pasted into full volumes and
     scored with voxel IoU against lazily-loaded gt masks.
+
+    With world > 1, each process runs its rank-strided shard and the
+    entries are all-gathered before scoring, so every process returns
+    the same full-dataset stats (reference eval_hooks.py:111-149).
     """
     variables = {"params": state.params}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
-    out = run_inference(cfg, model, variables, dataset)
+    out = run_inference(
+        cfg, model, variables, dataset, rank=rank, world=world
+    )
     if len(out) == 3 and iou_type == "segm":
         results, infos, segms = out
         from ..eval.masks import segm_entries
@@ -137,9 +182,13 @@ def evaluate_dataset(cfg, model, state, dataset, iou_type="bbox"):
         entries = []
         for cls_segms, per_class, info in zip(segms, results, infos):
             entries.extend(segm_entries(cls_segms, per_class, info))
+        if world > 1:
+            entries = allgather_entries(entries)
         evaluator = CocoEval3D(dataset.coco, entries, iou_type="segm")
         return evaluator.named_stats(prefix="segm")
     results, infos = out[:2]
     entries = results2json3d(results, infos)
+    if world > 1:
+        entries = allgather_entries(entries)
     evaluator = CocoEval3D(dataset.coco, entries, iou_type="bbox")
     return evaluator.named_stats(prefix="bbox")

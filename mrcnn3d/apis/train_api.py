@@ -159,6 +159,8 @@ def train_detector(cfg, dataset, work_dir=None, seed=0, validate=False,
         loader = Prefetcher(
             dataset, batch_size, epoch=epoch, shuffle=True, seed=seed,
             rank=rank, world=world,
+            num_workers=cfg.data.get("workers_per_gpu", 4),
+            mode=cfg.data.get("loader_mode", "thread"),
         )
         for batch in loader:
             batch.pop("img_info", None)
@@ -202,7 +204,12 @@ def train_detector(cfg, dataset, work_dir=None, seed=0, validate=False,
         ):
             from .test_api import evaluate_dataset
 
-            stats = evaluate_dataset(cfg, model, state, val_dataset)
+            # rank-strided validation shard, all-gathered before scoring
+            # (reference eval_hooks.py:111-149)
+            stats = evaluate_dataset(
+                cfg, model, state, val_dataset,
+                rank=jax.process_index(), world=jax.process_count(),
+            )
             logger.info("eval @ epoch %d: %s", epoch, stats)
     ckpt.save(manager, state, it)
     manager.wait_until_finished()

@@ -40,6 +40,12 @@ _TYPES = {
     # neck, per-level anchor counts, softmax cls + hard-negative mining
     "SSD": dict(num_scales=1, with_bbox=False, with_mask=False,
                 single_stage=True, two_d=True, ssd=True),
+    # RGB 2.5-D family (reference mask_rcnn_rgb.py / mask_rcnn_rgb_2.py):
+    # one 2-D RGB image of adjacent slices, per-slice head sets
+    "MaskRCNNRGB": dict(num_scales=3, share_heads=False, two_d=True,
+                        rgb=True),
+    "MaskRCNNRGB2": dict(num_scales=3, share_heads=False, two_d=True,
+                         rgb=True),
     "FasterRCNN3D": dict(num_scales=1, with_mask=False),
     "MaskRCNN3D": dict(num_scales=1),
     "MaskRCNN3D2Scales": dict(num_scales=2, with_refinement=True),
@@ -136,8 +142,9 @@ def build_detector(cfg, dtype=jnp.float32):
 
 
 def anchor_cfgs(cfg):
-    """Per-scale anchor config dicts (rpn_head, rpn_head_2, rpn_head_3)."""
-    out = [cfg.model["rpn_head"]]
+    """Per-scale anchor config dicts (rpn_head, rpn_head_2, rpn_head_3;
+    single-stage heads living under bbox_head, e.g. SSD)."""
+    out = [cfg.model.get("rpn_head") or cfg.model["bbox_head"]]
     for key in ("rpn_head_2", "rpn_head_3"):
         if key in cfg.model:
             out.append(cfg.model[key])

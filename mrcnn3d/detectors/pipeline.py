@@ -27,7 +27,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.anchors import AnchorGenerator3D, anchor_inside_flags
+from ..core.anchors import (
+    AnchorGenerator3D,
+    anchor_inside_flags,
+    ssd_anchor_generators,
+)
 from ..core.post import multiclass_nms_3d
 from ..core.targets import (
     anchor_target_focal_single,
@@ -60,6 +64,10 @@ def rpn_codec(cfg):
     (reference cfg.model.rpn_head.target_means/stds); identity codec
     when unspecified."""
     head = cfg.model.get("rpn_head", {}) if hasattr(cfg, "model") else {}
+    if not head and hasattr(cfg, "model"):
+        # single-stage heads named bbox_head (reference SSD/RetinaNet
+        # configs put the anchor codec there)
+        head = cfg.model.get("bbox_head", {})
     means = tuple(head.get("target_means", RPN_MEANS))
     stds = tuple(head.get("target_stds", RPN_STDS))
     return means, stds
@@ -81,16 +89,25 @@ def build_anchor_set(featmap_sizes, img_shape, anchor_cfg, allowed_border=0):
     config keys, configs/3d-multi-resolution-rcnn.py:16-28).
     """
     strides = anchor_cfg["anchor_strides"]
-    dstrides = anchor_cfg["anchor_strides_depth"]
+    dstrides = anchor_cfg.get(
+        "anchor_strides_depth", [1] * len(strides)
+    )
+    if "basesize_ratio_range" in anchor_cfg:
+        gens = ssd_anchor_generators(anchor_cfg)
+    else:
+        gens = [
+            AnchorGenerator3D(
+                base_size=strides[lvl],
+                scales=anchor_cfg["anchor_scales"],
+                depth_scales=anchor_cfg["anchor_depth_scales"],
+                ratios=anchor_cfg["anchor_ratios"],
+                anchor_depth_base=dstrides[lvl],
+            )
+            for lvl in range(len(featmap_sizes))
+        ]
     anchors, inside = [], []
     for lvl, (d, h, w) in enumerate(featmap_sizes):
-        gen = AnchorGenerator3D(
-            base_size=strides[lvl],
-            scales=anchor_cfg["anchor_scales"],
-            depth_scales=anchor_cfg["anchor_depth_scales"],
-            ratios=anchor_cfg["anchor_ratios"],
-            anchor_depth_base=dstrides[lvl],
-        )
+        gen = gens[lvl]
         a = gen.grid_anchors((d, h, w), strides[lvl], dstrides[lvl])
         flags = gen.valid_flags((d, h, w), (d, h, w))
         ins = anchor_inside_flags(a, flags, img_shape, allowed_border)
@@ -326,6 +343,113 @@ def single_stage_test_single(
     )
 
 
+def ssd_loss(
+    cls_outs,
+    reg_outs,
+    anchor_set,
+    gt_boxes,
+    gt_valid,
+    gt_labels,
+    cfg_ss,
+    num_classes,
+    means=RPN_MEANS,
+    stds=RPN_STDS,
+):
+    """SSD MultiBox loss (reference ssd_head.py:109-191): softmax CE per
+    anchor with ranked hard-negative mining at neg_pos_ratio, smooth-L1
+    regression, both averaged by the total positive count.  No sampling
+    (anchor_target sampling=False), no unmapping.
+
+    cls_outs[l]: (B, d, h, w, A_l*C); reg_outs[l]: (B, d, h, w, A_l*6).
+    """
+    b = cls_outs[0].shape[0]
+    cls_flat = jnp.concatenate(
+        [c.reshape(b, -1, num_classes) for c in cls_outs], axis=1
+    )  # (B, A, C)
+    reg_flat = jnp.concatenate(
+        [r.reshape(b, -1, 6) for r in reg_outs], axis=1
+    )
+    anchors = jnp.asarray(np.concatenate(anchor_set.anchors, axis=0))
+    inside = jnp.asarray(np.concatenate(anchor_set.inside, axis=0))
+
+    tgt = jax.vmap(
+        lambda gb, gv, gl: anchor_target_focal_single(
+            anchors, inside, gb, gv, gl, cfg_ss, means, stds
+        )
+    )(gt_boxes, gt_valid, gt_labels)
+    num_total_pos = jnp.sum(
+        jnp.sum((tgt["labels"] > 0) & (tgt["label_weights"] > 0), axis=1)
+    ).astype(jnp.float32)
+    num_total_pos = jnp.maximum(num_total_pos, 1.0)
+
+    logp = jax.nn.log_softmax(cls_flat.astype(jnp.float32), axis=-1)
+    ce = -jnp.take_along_axis(
+        logp, tgt["labels"][..., None], axis=-1
+    )[..., 0] * tgt["label_weights"]  # (B, A)
+
+    is_pos = (tgt["labels"] > 0) & (tgt["label_weights"] > 0)
+    is_neg = (tgt["labels"] == 0) & (tgt["label_weights"] > 0)
+    num_pos = jnp.sum(is_pos, axis=1)  # (B,)
+    num_neg_avail = jnp.sum(is_neg, axis=1)
+    ratio = float(cfg_ss.get("neg_pos_ratio", 3))
+    k_neg = jnp.minimum(
+        (ratio * num_pos).astype(jnp.int32), num_neg_avail
+    )  # (B,)
+
+    # ranked hard negatives with a dynamic per-image count: sort the
+    # negative losses descending (static shape) and keep rank < k_neg
+    neg_losses = jnp.where(is_neg, ce, -jnp.inf)
+    neg_sorted = -jnp.sort(-neg_losses, axis=1)
+    rank = jnp.arange(ce.shape[1])[None, :]
+    keep = (rank < k_neg[:, None]) & jnp.isfinite(neg_sorted)
+    loss_cls = (
+        jnp.sum(jnp.where(is_pos, ce, 0.0))
+        + jnp.sum(jnp.where(keep, neg_sorted, 0.0))
+    ) / num_total_pos
+
+    loss_reg = weighted_smoothl1(
+        reg_flat.reshape(-1, 6),
+        tgt["bbox_targets"].reshape(-1, 6),
+        tgt["bbox_weights"].reshape(-1, tgt["bbox_weights"].shape[-1]),
+        float(cfg_ss.get("smoothl1_beta", 1.0)),
+        num_total_pos,
+    )
+    return {"loss_cls": loss_cls, "loss_reg": loss_reg}
+
+
+def ssd_test_single(
+    cls_list, reg_list, anchor_set, img_shape, cfg, num_classes,
+    means=RPN_MEANS, stds=RPN_STDS,
+):
+    """SSD decode for one image (reference anchor_head.get_bboxes with
+    use_sigmoid_cls=False): softmax scores over all anchors of every
+    level (no pre-NMS top-k at SSD scale), then multi-class NMS."""
+    rcnn = cfg["rcnn"] if "rcnn" in cfg else cfg
+    lvl_boxes, lvl_scores = [], []
+    for lvl in range(len(cls_list)):
+        scores = jax.nn.softmax(
+            cls_list[lvl].reshape(-1, num_classes).astype(jnp.float32),
+            axis=-1,
+        )
+        deltas = reg_list[lvl].reshape(-1, 6)
+        anchors = jnp.asarray(anchor_set.anchors[lvl])
+        lvl_boxes.append(
+            delta2bbox3d(anchors, deltas, means, stds, img_shape)
+        )
+        lvl_scores.append(scores)
+    boxes = jnp.concatenate(lvl_boxes, axis=0)
+    scores = jnp.concatenate(lvl_scores, axis=0)
+    valid = jnp.ones((boxes.shape[0],), bool)
+    return multiclass_nms_3d(
+        boxes,
+        scores,
+        valid,
+        rcnn["score_thr"],
+        rcnn["nms"]["iou_thr"],
+        rcnn["max_per_img"],
+    )
+
+
 def flat_rois(boxes, valid=None):
     """(B, R, 6) -> (B*R, 7) [batch, x1..z2] (reference bbox2roi3D)."""
     b, r, _ = boxes.shape
@@ -409,6 +533,10 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
 
     Returns (total_loss, loss_dict).
     """
+    if getattr(model, "rgb", False):
+        return rgb_forward_train(
+            model, variables, batch, rng, cfg, anchor_sets
+        )
     if getattr(model, "cascade_stages", 0) > 0:
         return cascade_forward_train(
             model, variables, batch, rng, cfg, anchor_sets
@@ -444,8 +572,12 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
         reg_outs = [o[1] for o in rpn_outs]
 
         if model.single_stage:
+            ss_loss = (
+                ssd_loss if getattr(model, "ssd", False)
+                else single_stage_loss
+            )
             losses.update(
-                single_stage_loss(
+                ss_loss(
                     cls_outs,
                     reg_outs,
                     anchor_sets[s],
@@ -741,7 +873,19 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
 def _roi_align_cfg(feats, rois, roi_cfg, valid=None, chunk=0):
     fn = multi_level_roi_align_3d
     kw = {}
-    if chunk and rois.shape[0] > chunk:
+    layer = roi_cfg.get("roi_layer", {})
+    if layer.get("use_pallas", False):
+        # opt-in Pallas crop kernel (window DMA + MXU interpolation);
+        # config flag mirrors the roi_layer type switch upstream
+        from ..ops.roi_align3d_pallas import (
+            multi_level_roi_align_3d_pallas,
+        )
+
+        fn = multi_level_roi_align_3d_pallas
+        kw["max_d"] = int(layer.get("pallas_max_d", 16))
+        kw["max_hw"] = int(layer.get("pallas_max_hw", 32))
+        kw["interpret"] = jax.default_backend() != "tpu"
+    elif chunk and rois.shape[0] > chunk:
         fn = multi_level_roi_align_3d_chunked
         kw["chunk"] = chunk
     return fn(
@@ -772,6 +916,8 @@ def simple_test(
     valid (B, max_per_img) in the 1.0x (original) coordinate frame when
     rescale=True.
     """
+    if getattr(model, "rgb", False):
+        return rgb_simple_test(model, variables, batch, cfg, anchor_sets)
     if getattr(model, "cascade_stages", 0) > 0:
         return cascade_simple_test(model, variables, batch, cfg, anchor_sets)
     test_cfg = cfg.test_cfg
@@ -791,8 +937,13 @@ def simple_test(
         cls_outs = [o[0] for o in rpn_outs]
         reg_outs = [o[1] for o in rpn_outs]
 
+        ss_test = (
+            ssd_test_single if getattr(model, "ssd", False)
+            else single_stage_test_single
+        )
+
         def one(cls_i, reg_i):
-            return single_stage_test_single(
+            return ss_test(
                 cls_i, reg_i, anchor_sets[0], img_shape, test_cfg,
                 model.num_classes, means=rpn_means, stds=rpn_stds,
             )
@@ -975,11 +1126,20 @@ def _semantic_roi_feats(sem_feat, rois, rvalid, cfg, out, out_d):
         layer.get("sample_num", 2), valid=rvalid,
     )
     if s_out != out or s_out_d != out_d:
-        rd, rh = s_out_d // out_d, s_out // out
-        n, _, _, _, c = x.shape
-        x = x.reshape(n, out_d, rd, out, rh, out, rh, c).mean(
-            axis=(2, 4, 6)
-        )
+        # adaptive average pooling: static per-axis (out, in) averaging
+        # matrices reproduce torch adaptive_avg_pool bin semantics for
+        # any size ratio (bin o covers [floor(o*I/O), ceil((o+1)*I/O)))
+        def pool_mat(o_sz, i_sz):
+            m = np.zeros((o_sz, i_sz), np.float32)
+            for o in range(o_sz):
+                s0 = (o * i_sz) // o_sz
+                s1 = -((-(o + 1) * i_sz) // o_sz)  # ceil
+                m[o, s0:s1] = 1.0 / (s1 - s0)
+            return jnp.asarray(m, x.dtype)
+
+        x = jnp.einsum("ndhwc,zd->nzhwc", x, pool_mat(out_d, s_out_d))
+        x = jnp.einsum("ndhwc,yh->ndywc", x, pool_mat(out, s_out))
+        x = jnp.einsum("ndhwc,xw->ndhxc", x, pool_mat(out, s_out))
     return x
 
 
@@ -1086,6 +1246,14 @@ def cascade_forward_train(model, variables, batch, rng, cfg, anchor_sets):
         sem_logits, sem_feat = apply(feats, method=model.semantic_forward)
         if "gt_semantic_seg" in batch:
             gt_seg = batch["gt_semantic_seg"].astype(jnp.int32)
+            if gt_seg.shape[1:4] != sem_logits.shape[1:4]:
+                # accept full-resolution seg maps: nearest-downsample to
+                # the fusion-level grid (the reference dataset ships 1/8
+                # maps; doing it in-graph removes that coupling)
+                gt_seg = jax.image.resize(
+                    gt_seg, gt_seg.shape[:1] + sem_logits.shape[1:4],
+                    method="nearest",
+                )
             ignore = int(sem_cfg.get("ignore_label", 255))
             lw = float(sem_cfg.get("loss_weight", 0.2))
             logp = jax.nn.log_softmax(
@@ -1176,6 +1344,166 @@ def cascade_forward_train(model, variables, batch, rng, cfg, anchor_sets):
 
     total = sum(v for k, v in losses.items() if "loss" in k)
     return total, losses
+
+
+RGB_SUFFIXES = ("_r", "_g", "_b")
+
+
+def rgb_forward_train(model, variables, batch, rng, cfg, anchor_sets):
+    """Training losses for the RGB 2.5-D family (reference
+    two_stage_rgb.py:114-238): ONE shared feature extraction, then a
+    full rpn/bbox/mask pass per channel slice with that slice's heads
+    and gt.  The reference skips a slice when any batch image has no gt
+    for it (:140-149); with static shapes that becomes a 0/1 loss weight.
+    """
+    train_cfg = cfg.train_cfg
+    rcnn_cfg = train_cfg["rcnn"]
+    num_classes = model.num_classes
+    apply = functools.partial(model.apply, variables)
+    means = tuple(cfg.model["bbox_head"]["target_means"])
+    stds = tuple(cfg.model["bbox_head"]["target_stds"])
+    rpn_means, rpn_stds = rpn_codec(cfg)
+    roi_cfg = cfg.model["bbox_roi_extractor"]
+
+    imgs = batch["imgs"]
+    b = imgs.shape[0]
+    img_shape = (imgs.shape[2], imgs.shape[3], 3, imgs.shape[1])
+    feats = apply(imgs, method=model.extract_feat)
+
+    losses = {}
+    rngs = jax.random.split(rng, 2 * len(RGB_SUFFIXES))
+    for s, sfx in enumerate(RGB_SUFFIXES):
+        gtb = batch["gt_boxes" + sfx]
+        gtv = batch["gt_valid" + sfx]
+        gtl = batch["gt_labels" + sfx]
+        # reference slice skip: all-or-nothing across the batch
+        w_slice = jnp.all(jnp.any(gtv, axis=1)).astype(jnp.float32)
+
+        rpn_outs = apply(feats, s, method=model.rpn)
+        cls_outs = [o[0] for o in rpn_outs]
+        reg_outs = [o[1] for o in rpn_outs]
+        rl = rpn_loss(
+            cls_outs, reg_outs, anchor_sets[0], gtb, gtv, rngs[2 * s],
+            train_cfg["rpn"], suffix=sfx,
+            means=rpn_means, stds=rpn_stds,
+        )
+        losses.update({k: w_slice * v for k, v in rl.items()})
+
+        pboxes, pscores, pvalid = gen_proposals(
+            cls_outs, reg_outs, anchor_sets[0], img_shape,
+            train_cfg["rpn_proposal"], means=rpn_means, stds=rpn_stds,
+        )
+        pboxes = jax.lax.stop_gradient(pboxes)
+        keys = jax.random.split(rngs[2 * s + 1], b)
+        samples = jax.vmap(
+            lambda k, pb, pv, gb, gv, gl: sample_rcnn_single(
+                k, pb, pv, gb, gv, gl, rcnn_cfg, means, stds,
+                num_classes=num_classes,
+            )
+        )(keys, pboxes, pvalid, gtb, gtv, gtl)
+        rois, rvalid = flat_rois(samples.rois, samples.roi_valid)
+        roi_feats = _roi_align_cfg(feats, rois, roi_cfg, rvalid)
+        out = apply(roi_feats, s, method=model.bbox_forward)
+        bl = bbox_stage_loss(
+            out[0], out[1], samples, num_classes,
+            rcnn_cfg.get("pos_weight", -1), suffix=sfx,
+        )
+        losses.update({k: w_slice * v for k, v in bl.items()})
+
+        if model.with_mask and ("gt_masks" + sfx) in batch:
+            mask_roi_cfg = cfg.model["mask_roi_extractor"]
+            pos_quota = int(round(
+                rcnn_cfg["sampler"]["num"]
+                * rcnn_cfg["sampler"]["pos_fraction"]
+            ))
+            pos_rois = samples.rois[:, :pos_quota]
+            pos_mask = samples.is_pos[:, :pos_quota]
+            pos_gt = samples.gt_idx[:, :pos_quota]
+            pos_labels = samples.labels[:, :pos_quota]
+            mrois, mrvalid = flat_rois(pos_rois, pos_mask)
+            mfeats = _roi_align_cfg(feats, mrois, mask_roi_cfg, mrvalid)
+            mpred = apply(mfeats, s, method=model.mask_forward)
+            mtargets = jax.vmap(
+                lambda pr, pm, pgi, gm: mask_target_single(
+                    pr, pm, pgi, gm,
+                    rcnn_cfg["mask_size"], rcnn_cfg["mask_size_depth"],
+                )
+            )(pos_rois, pos_mask, pos_gt, batch["gt_masks" + sfx])
+            flat_targets = mtargets.reshape(
+                -1, rcnn_cfg["mask_size_depth"], rcnn_cfg["mask_size"],
+                rcnn_cfg["mask_size"],
+            )
+            losses["loss_mask" + sfx] = w_slice * mask_cross_entropy(
+                mpred, flat_targets, pos_labels.reshape(-1),
+                valid=mrvalid,
+            )
+
+    total = sum(v for k, v in losses.items() if "loss" in k)
+    return total, losses
+
+
+def rgb_simple_test(model, variables, batch, cfg, anchor_sets):
+    """RGB 2.5-D inference: one feature pass, per-slice head sets; each
+    slice's detections are returned under its suffix (the reference
+    selects one via slice_num, test_mixins_rgb.py)."""
+    test_cfg = cfg.test_cfg
+    rcnn_test = test_cfg["rcnn"]
+    apply = functools.partial(model.apply, variables)
+    means = tuple(cfg.model["bbox_head"]["target_means"])
+    stds = tuple(cfg.model["bbox_head"]["target_stds"])
+    rpn_means, rpn_stds = rpn_codec(cfg)
+    roi_cfg = cfg.model["bbox_roi_extractor"]
+
+    imgs = batch["imgs"]
+    b = imgs.shape[0]
+    img_shape = (imgs.shape[2], imgs.shape[3], 3, imgs.shape[1])
+    feats = apply(imgs, method=model.extract_feat)
+
+    out = {}
+    for s, sfx in enumerate(RGB_SUFFIXES):
+        rpn_outs = apply(feats, s, method=model.rpn)
+        pboxes, pscores, pvalid = gen_proposals(
+            [o[0] for o in rpn_outs], [o[1] for o in rpn_outs],
+            anchor_sets[0], img_shape, test_cfg["rpn"],
+            means=rpn_means, stds=rpn_stds,
+        )
+        rois, rvalid = flat_rois(pboxes, pvalid)
+        roi_feats = _roi_align_cfg(feats, rois, roi_cfg, rvalid)
+        head_out = apply(roi_feats, s, method=model.bbox_forward)
+        scores = jax.nn.softmax(head_out[0], axis=-1)
+        boxes = delta2bbox3d(
+            rois[:, 1:], head_out[1], means, stds, img_shape
+        )
+        m = pboxes.shape[1]
+        dets, labels, dvalid, _ = jax.vmap(
+            lambda bx, sc, vd: multiclass_nms_3d(
+                bx, sc, vd, rcnn_test["score_thr"],
+                rcnn_test["nms"]["iou_thr"], rcnn_test["max_per_img"],
+            )
+        )(
+            boxes.reshape(b, m, -1),
+            scores.reshape(b, m, -1),
+            rvalid.reshape(b, m),
+        )
+        out["dets" + sfx] = dets
+        out["labels" + sfx] = labels
+        out["valid" + sfx] = dvalid
+        if model.with_mask and not test_cfg.get("return_bbox_only", False):
+            mask_roi_cfg = cfg.model["mask_roi_extractor"]
+            mrois, mrvalid = flat_rois(dets[..., :6], dvalid)
+            mfeats = _roi_align_cfg(
+                feats, mrois, mask_roi_cfg, mrvalid,
+                chunk=int(test_cfg.get("mask_roi_chunk", 512)),
+            )
+            out["mask_logits" + sfx] = apply(
+                mfeats, s, method=model.mask_forward
+            )
+    # default keys mirror slice r (reference tools default slice_num=-1
+    # picks a single slice's heads)
+    out["dets"] = out["dets_r"]
+    out["labels"] = out["labels_r"]
+    out["valid"] = out["valid_r"]
+    return out
 
 
 def cascade_simple_test(model, variables, batch, cfg, anchor_sets):

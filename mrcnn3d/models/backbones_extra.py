@@ -70,12 +70,16 @@ class BottleneckX3D(nn.Module):
     groups: int = 32
     base_width: int = 4
     with_downsample: bool = False
+    two_d: bool = False  # depth-1 mode: (1,k,k) kernels == 2-D ResNeXt
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         identity = x
         s = self.stride
+        st = (1, s, s) if self.two_d else (s, s, s)
+        k3 = (1, 3, 3) if self.two_d else (3, 3, 3)
+        p3 = [(0, 0), (1, 1), (1, 1)] if self.two_d else 1
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         width = max(width, self.groups)
         out = nn.Conv(
@@ -85,9 +89,9 @@ class BottleneckX3D(nn.Module):
         out = nn.relu(out)
         out = nn.Conv(
             width,
-            (3, 3, 3),
-            strides=(s, s, s),
-            padding=1,
+            k3,
+            strides=st,
+            padding=p3,
             feature_group_count=self.groups,
             use_bias=False,
             dtype=self.dtype,
@@ -107,7 +111,7 @@ class BottleneckX3D(nn.Module):
             identity = nn.Conv(
                 self.planes * 4,
                 (1, 1, 1),
-                strides=(s, s, s),
+                strides=st,
                 use_bias=False,
                 dtype=self.dtype,
                 name="downsample_conv",
@@ -124,24 +128,34 @@ class ResNeXt3D(nn.Module):
     base_width: int = 4
     width: int = 16
     out_indices: Sequence[int] = (0, 1, 2, 3)
+    two_d: bool = False  # depth-1 mode: the 2-D legacy ResNeXt
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         _, stage_blocks = ARCH_SETTINGS[self.depth]
         x = x.astype(self.dtype)
+        k7 = (1, 7, 7) if self.two_d else (7, 7, 7)
+        p7 = [(0, 0), (3, 3), (3, 3)] if self.two_d else 3
         x = nn.Conv(
             self.width,
-            (7, 7, 7),
+            k7,
             strides=(1, 2, 2),
-            padding=3,
+            padding=p7,
             use_bias=False,
             dtype=self.dtype,
             name="conv1",
         )(x)
         x = FrozenBatchNorm(dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
-        x = max_pool_3d(x, (3, 3, 3), (2, 2, 2), [(1, 1), (1, 1), (1, 1)])
+        if self.two_d:
+            x = max_pool_3d(
+                x, (1, 3, 3), (1, 2, 2), [(0, 0), (1, 1), (1, 1)]
+            )
+        else:
+            x = max_pool_3d(
+                x, (3, 3, 3), (2, 2, 2), [(1, 1), (1, 1), (1, 1)]
+            )
         outs = []
         in_ch = self.width
         strides = (1, 2, 2, 2)
@@ -153,6 +167,7 @@ class ResNeXt3D(nn.Module):
                     stride=strides[i] if j == 0 else 1,
                     groups=self.groups,
                     base_width=self.base_width,
+                    two_d=self.two_d,
                     with_downsample=(
                         j == 0 and (strides[i] != 1 or in_ch != planes * 4)
                     ),

@@ -63,6 +63,14 @@ class Detector3D(nn.Module):
     with_semantic: bool = False  # HTC fused semantic branch
     semantic_num_classes: int = 2
     semantic_fusion_level: int = 1
+    ssd: bool = False  # SSD: VGG backbone, no neck, per-level anchor counts
+    ssd_input_size: int = 300
+    ssd_num_anchors: Sequence[int] = ()
+    # RGB 2.5-D family (reference two_stage_rgb.py): ONE 2-D image whose
+    # channels are adjacent volume slices, with a separate head set per
+    # slice — structurally num_scales=3 + share_heads=False over shared
+    # features; `rgb` switches the pipeline to per-slice gt plumbing
+    rgb: bool = False
     stacked_convs: int = 4
     fc_out_channels: int = 1024
     mask_convs: int = 4
@@ -74,10 +82,29 @@ class Detector3D(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
+        if self.ssd:
+            from .backbones_extra import SSDVGG
+            from .heads import SSDHead
+
+            self.backbone = SSDVGG(
+                input_size=self.ssd_input_size, dtype=self.dtype
+            )
+            self.ssd_head = SSDHead(
+                num_anchors=tuple(self.ssd_num_anchors),
+                num_classes=self.num_classes,
+                two_d=self.two_d,
+                dtype=self.dtype,
+            )
+            return
         if self.backbone_type == "ResNeXt3D":
             from .backbones_extra import ResNeXt3D
 
-            self.backbone = ResNeXt3D(depth=self.depth, dtype=self.dtype)
+            self.backbone = ResNeXt3D(
+                depth=self.depth,
+                width=self.base_width,
+                two_d=self.two_d,
+                dtype=self.dtype,
+            )
         elif self.backbone_type == "UNet3D":
             from .backbones_extra import UNet3D
 
@@ -191,9 +218,13 @@ class Detector3D(nn.Module):
 
     def extract_feat(self, x):
         """(B, D, H, W, 3) -> tuple of FPN levels (B, d, h, w, C)."""
+        if self.ssd:
+            return self.backbone(x)  # SSD: no neck (single_stage.py)
         return self.neck(self.backbone(x))
 
     def rpn(self, feats, scale: int = 0):
+        if self.ssd:
+            return self.ssd_head(feats)
         head = self.rpn_heads[scale]
         return tuple(head(f) for f in feats)
 

@@ -243,3 +243,60 @@ def roi_align_3d_pallas(
         n, out_size_depth, sn, out_size, sn, out_size, sn, c
     )
     return samples.mean(axis=(2, 4, 6))[..., :c_orig]
+
+
+def multi_level_roi_align_3d_pallas(
+    feats,
+    rois,
+    out_size,
+    out_size_depth,
+    featmap_strides,
+    featmap_strides_depth,
+    sample_num=2,
+    finest_scale=56,
+    valid=None,
+    max_d=16,
+    max_hw=32,
+    interpret=False,
+):
+    """FPN-level dispatch over the Pallas crop kernel (opt-in via
+    bbox_roi_extractor.roi_layer.use_pallas).
+
+    Mirrors `multi_level_roi_align_3d_reference` semantics: every roi is
+    aligned against every level (each a per-level kernel launch) and the
+    row for its assigned level selected — the per-roi cost is one window
+    DMA, so the x num_levels overhead is acceptable for the opt-in path;
+    window bounds shrink to each level's extent.
+    """
+    from .roi_align3d import map_roi_levels
+
+    num_levels = len(feats)
+    target = map_roi_levels(rois, num_levels, finest_scale)
+    if valid is not None:
+        target = jnp.where(valid, target, 0)
+    out = None
+    for lvl, f in enumerate(feats):
+        # shrink windows to the level extent; W keeps 8 cells of
+        # alignment slack (kernel requirement w >= max_hw + 8).  Level
+        # dispatch bounds per-level roi extent, so coarse levels fit.
+        md = min(max_d, f.shape[1])
+        mh = min(max_hw, f.shape[2], max(f.shape[3] - 8, 1))
+        o = roi_align_3d_pallas(
+            f,
+            rois,
+            out_size,
+            out_size_depth,
+            1.0 / featmap_strides[lvl],
+            1.0 / featmap_strides_depth[lvl],
+            sample_num,
+            max_d=md,
+            max_hw=mh,
+            interpret=interpret,
+        )
+        # each roi maps to exactly one level -> masked sum selects it
+        sel = (target == lvl)[:, None, None, None, None]
+        o = jnp.where(sel, o, 0.0)
+        out = o if out is None else out + o
+    if valid is not None:
+        out = jnp.where(valid[:, None, None, None, None], out, 0.0)
+    return out

@@ -122,3 +122,18 @@ def test_epoch_indices_sharding():
     np.testing.assert_array_equal(a0, b0)
     c0 = epoch_indices(10, epoch=1, rank=0, world=2)
     assert not np.array_equal(a0, c0)
+
+
+def test_loader_process_mode_matches_thread(synth):
+    """spawn-based process workers produce the same batches as threads
+    for a deterministic (no-aug, unshuffled) dataset."""
+    ann_file, img_dir = synth
+    ds = Coco3DDataset(ann_file, img_dir, NORM, max_gt=8, seed=0)
+    kw = dict(batch_size=1, epoch=0, shuffle=False, device_put=False,
+              num_workers=2)
+    thread_batches = list(Prefetcher(ds, mode="thread", **kw))
+    proc_batches = list(Prefetcher(ds, mode="process", **kw))
+    assert len(thread_batches) == len(proc_batches)
+    for tb, pb in zip(thread_batches, proc_batches):
+        for k in ("imgs", "gt_boxes", "gt_valid", "gt_labels"):
+            np.testing.assert_array_equal(tb[k], pb[k])

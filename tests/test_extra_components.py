@@ -114,3 +114,163 @@ class TestVocMap:
         dets = [np.array([[10, 10, 20, 20, 2, 8, 0.9]], np.float32)]
         ap, _, _ = eval_map_3d(dets, gts, mode="11points")
         assert abs(ap - 1.0) < 1e-6
+
+
+def test_fpn3d_2scales_fused_neck():
+    """FPN3D2Scales interleaves the two pathways into one top-down chain
+    (reference necks/fpn3d_2scales.py:143-188)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mrcnn3d.models.fpn3d import FPN3D2Scales
+
+    rng = jax.random.PRNGKey(0)
+    # 1.0x stages (B, d, h, w, C) and their 1.5x twins
+    chans = [64, 128, 256, 512]
+    feats = [
+        jnp.ones((1, 8 // 2**i + (8 // 2**i == 0), 16 // 2**i,
+                  16 // 2**i, c))
+        for i, c in enumerate(chans)
+    ]
+    feats2 = [
+        jnp.ones((1, 12 // 2**i + (12 // 2**i == 0), 24 // 2**i,
+                  24 // 2**i, c))
+        for i, c in enumerate(chans)
+    ]
+    neck = FPN3D2Scales(out_channels=32, num_outs=9)
+    variables = neck.init(rng, feats, feats2)
+    outs = neck.apply(variables, feats, feats2)
+    assert len(outs) == 9
+    # slot 2i is the 1.5x stage i, slot 2i+1 the 1.0x stage i
+    for i in range(4):
+        assert outs[2 * i].shape[1:4] == feats2[i].shape[1:4]
+        assert outs[2 * i + 1].shape[1:4] == feats[i].shape[1:4]
+    # extra level subsamples outs[-2] (reference :187), i.e. the last
+    # 1.5x slot, not the finmost-coarse 1.0x one
+    assert outs[8].shape[1:4] == tuple(
+        -(-s // 2) for s in outs[6].shape[1:4]
+    )
+    # every lateral/fpn conv pair exists (2 per backbone stage)
+    names = set(variables["params"].keys())
+    assert {f"lateral_{i}" for i in range(8)} <= names
+    assert {f"fpn_{i}" for i in range(8)} <= names
+
+
+def test_roi_pool_3d_matches_oracle():
+    """RoIPool3D == scalar numpy oracle of the CUDA kernel
+    (reference mmdet/ops/roi_pool/src/roi_pool_kernel.cu)."""
+    import jax.numpy as jnp
+
+    from mrcnn3d.ops.roi_pool3d import roi_pool_3d, roi_pool_3d_numpy
+
+    rng = np.random.RandomState(3)
+    feats = rng.randn(2, 12, 24, 24, 5).astype(np.float32)
+    n = 12
+    x1 = rng.uniform(-4, 80, n)
+    y1 = rng.uniform(-4, 80, n)
+    z1 = rng.uniform(-2, 18, n)
+    rois = np.stack(
+        [rng.randint(0, 2, n).astype(np.float64), x1, y1,
+         x1 + rng.uniform(2, 40, n), y1 + rng.uniform(2, 40, n),
+         z1, z1 + rng.uniform(1, 8, n)], -1,
+    ).astype(np.float32)
+    want = roi_pool_3d_numpy(feats, rois, 7, 3, 0.25, 0.5)
+    got = roi_pool_3d(
+        jnp.asarray(feats), jnp.asarray(rois), 7, 3, 0.25, 0.5,
+        max_hw=24, max_d=12,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+def test_roi_pool_2d_depth1():
+    """Depth-1 RoIPool == the 2-D legacy op on (1, H, W) volumes."""
+    import jax.numpy as jnp
+
+    from mrcnn3d.ops.roi_pool3d import roi_pool_3d, roi_pool_3d_numpy
+
+    rng = np.random.RandomState(4)
+    feats = rng.randn(1, 1, 16, 16, 3).astype(np.float32)
+    rois = np.array(
+        [[0, 4, 4, 40, 44, 0, 0], [0, 0, 0, 60, 60, 0, 0]], np.float32
+    )
+    want = roi_pool_3d_numpy(feats, rois, 7, 1, 0.25, 1.0)
+    got = roi_pool_3d(
+        jnp.asarray(feats), jnp.asarray(rois), 7, 1, 0.25, 1.0,
+        max_hw=16, max_d=1,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+class TestDCN:
+    def test_deform_conv_matches_oracle(self):
+        from mrcnn3d.ops.dcn import deform_conv2d, deform_conv2d_numpy
+
+        rng = np.random.RandomState(5)
+        x = rng.randn(2, 9, 10, 4).astype(np.float32)
+        w = (rng.randn(3, 3, 4, 6) * 0.1).astype(np.float32)
+        off = (rng.randn(2, 9, 10, 18) * 1.5).astype(np.float32)
+        want = deform_conv2d_numpy(x, off, w)
+        got = deform_conv2d(
+            jnp.asarray(x), jnp.asarray(off), jnp.asarray(w)
+        )
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+    def test_modulated_and_zero_offset_is_plain_conv(self):
+        from mrcnn3d.ops.dcn import deform_conv2d, deform_conv2d_numpy
+
+        rng = np.random.RandomState(6)
+        x = rng.randn(1, 8, 8, 3).astype(np.float32)
+        w = (rng.randn(3, 3, 3, 5) * 0.1).astype(np.float32)
+        zero_off = np.zeros((1, 8, 8, 18), np.float32)
+        got = deform_conv2d(jnp.asarray(x), jnp.asarray(zero_off),
+                            jnp.asarray(w))
+        import jax.numpy as jnp2
+        ref = jax.lax.conv_general_dilated(
+            jnp2.asarray(x), jnp2.asarray(w), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-4
+        )
+        # v2 mask
+        m = rng.uniform(0, 1, (1, 8, 8, 9)).astype(np.float32)
+        off = (rng.randn(1, 8, 8, 18) * 1.0).astype(np.float32)
+        want = deform_conv2d_numpy(x, off, w, mask=m)
+        got = deform_conv2d(jnp.asarray(x), jnp.asarray(off),
+                            jnp.asarray(w), mask=jnp.asarray(m))
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+    def test_pack_module_gradients(self):
+        from mrcnn3d.ops.dcn import DeformConv2dPack
+
+        m = DeformConv2dPack(features=4, modulated=True)
+        x = jnp.asarray(
+            np.random.RandomState(7).randn(1, 1, 8, 8, 3), jnp.float32
+        )
+        variables = m.init(jax.random.PRNGKey(0), x)
+
+        def f(v):
+            return jnp.sum(m.apply(v, x) ** 2)
+
+        g = jax.grad(f)(variables)
+        leaves = jax.tree.leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        # zero-init offset branch -> starts as a plain conv; offset grads
+        # flow through the bilinear sampler
+        total = sum(float(jnp.abs(l).sum()) for l in leaves)
+        assert total > 0
+
+
+def test_resnext_2d_depth1():
+    """ResNeXt two_d mode: (1,k,k) kernels on depth-1 volumes == the 2-D
+    legacy ResNeXt (reference mmdet/models/backbones/resnext.py)."""
+    from mrcnn3d.models.backbones_extra import ResNeXt3D
+
+    m = ResNeXt3D(depth=50, groups=4, base_width=4, width=8, two_d=True)
+    x = jnp.zeros((1, 1, 32, 32, 3))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(variables, x)
+    assert len(outs) == 4
+    # depth stays 1 at every stage; xy strides 4/8/16/32
+    assert [o.shape[1] for o in outs] == [1, 1, 1, 1]
+    assert [o.shape[2] for o in outs] == [8, 4, 2, 1]

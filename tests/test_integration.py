@@ -120,3 +120,43 @@ def test_checkpoint_resume(tiny_cfg, synth_data, tmp_path):
     # resume picks up from the saved step
     s2 = train_detector(tiny_cfg, ds, work_dir=wd, seed=0, max_iters=2, mesh=None)
     assert int(s2.step) == 2
+
+
+def test_rank_strided_eval_matches_single(tiny_cfg, synth_data):
+    """Sharded eval (idx % world == rank, entries merged) reproduces the
+    single-process stats exactly (reference eval_hooks.py:111-149)."""
+    import types
+
+    from mrcnn3d.apis.test_api import evaluate_dataset, run_inference
+    from mrcnn3d.data.coco3d import Coco3DDataset
+    from mrcnn3d.detectors.build import build_detector
+    from mrcnn3d.eval.coco_eval3d import CocoEval3D
+    from mrcnn3d.eval.results import results2json3d
+    import jax
+    import jax.numpy as jnp
+
+    ann_file, img_dir = synth_data
+    ds = Coco3DDataset(ann_file, img_dir, NORM, test_mode=True, max_gt=8)
+    model = build_detector(tiny_cfg)
+    sample = ds.prepare_test(0)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(sample["imgs"][None])
+    )
+    state = types.SimpleNamespace(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats"),
+    )
+    full = evaluate_dataset(tiny_cfg, model, state, ds)
+
+    entries = []
+    for r in range(2):
+        results, infos = run_inference(
+            tiny_cfg, model, variables, ds, rank=r, world=2
+        )[:2]
+        entries.extend(results2json3d(results, infos))
+    sharded = CocoEval3D(ds.coco, entries, iou_type="bbox").named_stats(
+        prefix="bbox"
+    )
+    assert set(full) == set(sharded)
+    for k in full:
+        np.testing.assert_allclose(sharded[k], full[k], atol=1e-9)

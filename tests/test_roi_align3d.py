@@ -302,3 +302,68 @@ def test_rowslab_matches_gather():
         feats, rois, 7, 3, [4, 8], [2, 4], 2, valid=valid
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_multi_level_pallas_matches_gather():
+    """Opt-in Pallas multi-level dispatch == the XLA gather extractor
+    (interpreter mode on CPU; hardware exactness covered by the
+    single-level test + tools/bench_ops.py)."""
+    from mrcnn3d.ops.roi_align3d_pallas import (
+        multi_level_roi_align_3d_pallas,
+    )
+
+    rng = np.random.RandomState(21)
+    feats = [
+        jnp.asarray(rng.randn(2, 16, 32, 32, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(2, 8, 16, 16, 8).astype(np.float32)),
+    ]
+    n = 12
+    x1 = rng.uniform(0, 60, n)
+    y1 = rng.uniform(0, 60, n)
+    z1 = rng.uniform(0, 20, n)
+    rois = jnp.asarray(
+        np.stack(
+            [rng.randint(0, 2, n).astype(np.float64), x1, y1,
+             x1 + rng.uniform(4, 50, n), y1 + rng.uniform(4, 50, n),
+             z1, z1 + rng.uniform(2, 10, n)], -1,
+        ).astype(np.float32)
+    )
+    valid = jnp.asarray(rng.rand(n) > 0.2)
+    ref = multi_level_roi_align_3d(
+        feats, rois, 7, 3, [4, 8], [2, 4], 2, valid=valid
+    )
+    got = multi_level_roi_align_3d_pallas(
+        feats, rois, 7, 3, [4, 8], [2, 4], 2, valid=valid,
+        max_d=16, max_hw=32, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_pipeline_pallas_flag(monkeypatch):
+    """use_pallas in the roi_layer config routes _roi_align_cfg to the
+    Pallas extractor."""
+    from mrcnn3d.detectors.pipeline import _roi_align_cfg
+
+    rng = np.random.RandomState(22)
+    feats = [
+        jnp.asarray(rng.randn(1, 16, 32, 32, 4).astype(np.float32)),
+        jnp.asarray(rng.randn(1, 8, 16, 16, 4).astype(np.float32)),
+    ]
+    # rois sized within the per-level Pallas windows (oversized rois
+    # clamp to the window edge — the documented opt-in divergence)
+    rois = jnp.asarray(
+        [[0, 4, 4, 20, 20, 2, 8], [0, 2, 2, 42, 42, 1, 10]], jnp.float32
+    )
+    cfg = dict(
+        roi_layer=dict(out_size=7, out_size_depth=3, sample_num=2,
+                       use_pallas=True),
+        featmap_strides=[4, 8],
+        featmap_strides_depth=[2, 4],
+    )
+    got = _roi_align_cfg(feats, rois, cfg)
+    base = dict(cfg)
+    base["roi_layer"] = dict(cfg["roi_layer"], use_pallas=False)
+    want = _roi_align_cfg(feats, rois, base)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-4
+    )

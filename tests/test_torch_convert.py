@@ -292,3 +292,180 @@ def test_full_model_conversion_coverage():
             assert not np.allclose(
                 np.asarray(leaf), np.asarray(new)
             ), f"param not covered by converter: {kp}"
+
+
+def test_full_forward_replay_parity():
+    """END-TO-END checkpoint replay: a reference-shaped torch model
+    (ResNet3D-50 w16 backbone + FPN3D + dual RPN heads, reference
+    state-dict names) and the converted flax flagship produce the same
+    features and RPN outputs on one input (reference
+    two_stage_3d_2scales.py:332-380 extract_feat + rpn path)."""
+    import torch.nn as tnn
+
+    import jax
+
+    from mrcnn3d.compat.torch_convert import (
+        convert_state_dict,
+        merge_into_variables,
+    )
+    from mrcnn3d.detectors.build import build_detector
+    from mrcnn3d.utils.config import Config
+
+    torch.manual_seed(0)
+
+    class TorchBottleneck(tnn.Module):
+        def __init__(self, cin, planes, stride, downsample):
+            super().__init__()
+            self.conv1 = tnn.Conv3d(cin, planes, 1, bias=False)
+            self.bn1 = tnn.BatchNorm3d(planes)
+            self.conv2 = tnn.Conv3d(planes, planes, 3, stride=stride,
+                                    padding=1, bias=False)
+            self.bn2 = tnn.BatchNorm3d(planes)
+            self.conv3 = tnn.Conv3d(planes, planes * 4, 1, bias=False)
+            self.bn3 = tnn.BatchNorm3d(planes * 4)
+            self.downsample = None
+            if downsample:
+                self.downsample = tnn.Sequential(
+                    tnn.Conv3d(cin, planes * 4, 1, stride=stride,
+                               bias=False),
+                    tnn.BatchNorm3d(planes * 4),
+                )
+
+        def forward(self, x):
+            idn = x if self.downsample is None else self.downsample(x)
+            out = torch.relu(self.bn1(self.conv1(x)))
+            out = torch.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            return torch.relu(out + idn)
+
+    class TorchResNet3D(tnn.Module):
+        """reference resnet3d.py:313-486 (width 16, stem stride (1,2,2))"""
+
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv3d(3, 16, 7, stride=(1, 2, 2),
+                                    padding=3, bias=False)
+            self.bn1 = tnn.BatchNorm3d(16)
+            self.maxpool = tnn.MaxPool3d(3, stride=2, padding=1)
+            blocks = (3, 4, 6, 3)
+            cin = 16
+            for li, (n, stride) in enumerate(
+                zip(blocks, (1, 2, 2, 2)), start=1
+            ):
+                planes = 16 * 2 ** (li - 1)
+                layer = []
+                for j in range(n):
+                    layer.append(TorchBottleneck(
+                        cin, planes, stride if j == 0 else 1,
+                        downsample=(j == 0),
+                    ))
+                    cin = planes * 4
+                setattr(self, f"layer{li}", tnn.Sequential(*layer))
+
+        def forward(self, x):
+            x = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
+            outs = []
+            for li in range(1, 5):
+                x = getattr(self, f"layer{li}")(x)
+                outs.append(x)
+            return outs
+
+    class TorchConvModule(tnn.Module):
+        def __init__(self, cin, cout, k, stride=1, padding=0):
+            super().__init__()
+            self.conv = tnn.Conv3d(cin, cout, k, stride=stride,
+                                   padding=padding)
+
+        def forward(self, x):
+            return self.conv(x)
+
+    class TorchFPN3D(tnn.Module):
+        """reference fpn3d.py forward (explicit-size nearest top-down,
+        maxpool(1, stride 2) extra levels)"""
+
+        def __init__(self, in_channels, out_channels, num_outs):
+            super().__init__()
+            self.num_outs = num_outs
+            self.lateral_convs = tnn.ModuleList(
+                [TorchConvModule(c, out_channels, 1) for c in in_channels]
+            )
+            self.fpn_convs = tnn.ModuleList(
+                [TorchConvModule(out_channels, out_channels, 3, padding=1)
+                 for _ in in_channels]
+            )
+
+        def forward(self, inputs):
+            import torch.nn.functional as F
+
+            laterals = [l(x) for l, x in zip(self.lateral_convs, inputs)]
+            for i in range(len(laterals) - 1, 0, -1):
+                laterals[i - 1] = laterals[i - 1] + F.interpolate(
+                    laterals[i], size=list(laterals[i - 1].shape[2:]),
+                    mode="nearest",
+                )
+            outs = [f(l) for f, l in zip(self.fpn_convs, laterals)]
+            for _ in range(self.num_outs - len(outs)):
+                outs.append(F.max_pool3d(outs[-1], 1, stride=2))
+            return outs
+
+    class TorchRPNHead(tnn.Module):
+        def __init__(self, c, num_anchors):
+            super().__init__()
+            self.rpn_conv = tnn.Conv3d(c, c, 3, padding=1)
+            self.rpn_cls = tnn.Conv3d(c, num_anchors, 1)
+            self.rpn_reg = tnn.Conv3d(c, num_anchors * 6, 1)
+
+        def forward(self, x):
+            x = torch.relu(self.rpn_conv(x))
+            return self.rpn_cls(x), self.rpn_reg(x)
+
+    class TorchFlagship(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = TorchResNet3D()
+            self.neck = TorchFPN3D([64, 128, 256, 512], 64, 5)
+            self.rpn_head = TorchRPNHead(64, 1)
+            self.rpn_head_2 = TorchRPNHead(64, 1)
+
+    tm = TorchFlagship()
+    for m in tm.modules():
+        if isinstance(m, tnn.BatchNorm3d):
+            m.running_mean.normal_(0, 0.1)
+            m.running_var.uniform_(0.8, 1.2)
+    tm.eval()
+
+    x = torch.randn(1, 3, 8, 32, 32)
+    with torch.no_grad():
+        tfeats = tm.neck(tm.backbone(x))
+        trpn = [tm.rpn_head(f) for f in tfeats]
+        trpn2 = [tm.rpn_head_2(f) for f in tfeats]
+
+    cfg = Config.fromfile("configs/mask_rcnn_3d_2scales.py")
+    cfg.model["backbone"]["depth"] = 50
+    model = build_detector(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 32, 32, 3))
+    )
+    params, stats = convert_state_dict(tm.state_dict())
+    variables = merge_into_variables(variables, params, stats)
+
+    x_cl = jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 4, 1)))
+    feats = model.apply(variables, x_cl, method=model.extract_feat)
+    assert len(feats) == len(tfeats)
+    for lvl, (got, want) in enumerate(zip(feats, tfeats)):
+        got = np.transpose(np.asarray(got), (0, 4, 1, 2, 3))
+        np.testing.assert_allclose(
+            got, _np(want), atol=2e-3,
+            err_msg=f"FPN level {lvl}",
+        )
+    for s, twant in enumerate((trpn, trpn2)):
+        outs = model.apply(variables, feats, s, method=model.rpn)
+        for lvl, ((gc, gr), (wc, wr)) in enumerate(zip(outs, twant)):
+            np.testing.assert_allclose(
+                np.transpose(np.asarray(gc), (0, 4, 1, 2, 3)),
+                _np(wc), atol=2e-3, err_msg=f"rpn{s} cls lvl {lvl}",
+            )
+            np.testing.assert_allclose(
+                np.transpose(np.asarray(gr), (0, 4, 1, 2, 3)),
+                _np(wr), atol=2e-3, err_msg=f"rpn{s} reg lvl {lvl}",
+            )

@@ -179,3 +179,165 @@ def test_cascade_rcnn_3d():
     assert np.isfinite(float(total))
     out = pl.simple_test(model, variables, batch, cfg, sets)
     assert out["dets"].shape == (1, 8, 7)
+
+
+def test_htc_3d():
+    """HybridTaskCascade3D: semantic branch + interleaved per-stage mask
+    heads with info flow (reference mmdet/models/detectors/htc.py)."""
+    cfg = _tiny_cfg("MaskRCNN3D")
+    cfg.model["type"] = "HybridTaskCascade3D"
+    base = dict(cfg.train_cfg["rcnn"])
+    stages = []
+    for thr in (0.4, 0.5, 0.6):
+        st = dict(base)
+        st["assigner"] = dict(base["assigner"])
+        st["assigner"]["pos_iou_thr"] = thr
+        st["assigner"]["neg_iou_thr"] = thr
+        st["assigner"]["min_pos_iou"] = thr
+        stages.append(st)
+    cfg.train_cfg["rcnn"] = stages
+    cfg.model["semantic_head"] = dict(
+        type="FusedSemanticHead",
+        num_ins=5,
+        fusion_level=1,
+        num_convs=2,
+        num_classes=3,
+        ignore_label=255,
+        loss_weight=0.2,
+    )
+    cfg.model["semantic_roi_extractor"] = dict(
+        roi_layer=dict(out_size=14, out_size_depth=10, sample_num=2),
+        featmap_strides=[8],
+        featmap_strides_depth=[4],
+    )
+    cfg.test_cfg["return_bbox_only"] = False
+    model, variables, sets, batch = _setup(cfg)
+    assert model.htc and model.with_semantic and model.cascade_stages == 3
+    d, h, w = batch["imgs"].shape[1:4]
+    seg = np.zeros((1, d, h, w), np.int32)
+    seg[:, 1:6, 4:15, 4:15] = 1
+    batch["gt_semantic_seg"] = jnp.asarray(seg)
+    total, losses = pl.forward_train(
+        model, variables, batch, jax.random.PRNGKey(1), cfg, sets
+    )
+    keys = {k for k in losses if "loss" in k}
+    assert {
+        "loss_semantic_seg",
+        "s0.loss_cls", "s1.loss_cls", "s2.loss_cls",
+        "s0.loss_mask", "s1.loss_mask", "s2.loss_mask",
+    } <= keys
+    assert np.isfinite(float(total))
+    out = pl.simple_test(model, variables, batch, cfg, sets)
+    assert out["dets"].shape == (1, 8, 7)
+    assert "mask_logits" in out
+    # ensemble logits recover a probability in (0, 1)
+    p = jax.nn.sigmoid(out["mask_logits"])
+    assert np.isfinite(np.asarray(p)).all()
+
+
+def test_ssd_2d():
+    """SSD300 (reference ssd_head.py + ssd_vgg.py), depth-1 volumes."""
+    cfg = Config.fromfile("configs/ssd300_2d.py")
+    model = build_detector(cfg)
+    assert model.ssd and model.single_stage
+
+    # the SSD300 extra pyramid needs the design input size (the last two
+    # unpadded 3x3 convs bottom out below ~300): levels 38/19/10/5/3/1
+    d, h, w = 1, 300, 300
+    imgs = jnp.zeros((1, d, h, w, 3))
+    variables = model.init(jax.random.PRNGKey(0), imgs)
+    feats = jax.eval_shape(
+        lambda v: model.apply(variables, v, method=model.extract_feat), imgs
+    )
+    assert len(feats) == 6  # SSD300: 6 pyramid levels
+    aset = pl.build_anchor_set(
+        [f.shape[1:4] for f in feats], (h, w, 3, d),
+        anchor_cfgs(cfg)[0], allowed_border=-1,
+    )
+    # per-level anchor counts 4/6/6/6/4/4 (ratios [2],[2,3],...)
+    na = [a.shape[0] // int(np.prod(f.shape[1:4]))
+          for a, f in zip(aset.anchors, feats)]
+    assert na == [4, 6, 6, 6, 4, 4]
+    gtb = np.zeros((1, 3, 6), np.float32)
+    gtb[:, 0] = [4, 4, 30, 30, 0, 0]
+    gtv = np.zeros((1, 3), bool)
+    gtv[:, 0] = True
+    gtl = np.zeros((1, 3), np.int32)
+    gtl[:, 0] = 1
+    batch = dict(
+        imgs=imgs,
+        gt_boxes=jnp.asarray(gtb),
+        gt_valid=jnp.asarray(gtv),
+        gt_labels=jnp.asarray(gtl),
+    )
+    total, losses = pl.forward_train(
+        model, variables, batch, jax.random.PRNGKey(1), cfg, [aset]
+    )
+    assert set(losses) == {"loss_cls", "loss_reg"}
+    assert np.isfinite(float(total))
+    out = pl.simple_test(model, variables, batch, cfg, [aset])
+    assert out["dets"].shape == (1, 16, 7)
+
+
+def test_mask_rcnn_rgb():
+    """RGB 2.5-D family: shared features, per-slice head sets, per-slice
+    gt with all-or-nothing slice skip (reference two_stage_rgb.py)."""
+    cfg = Config.fromfile("configs/faster_rcnn_2d.py")
+    cfg.model["type"] = "MaskRCNNRGB"
+    cfg.model["backbone"]["depth"] = 18
+    cfg.model["mask_head"] = dict(
+        type="FCNMaskHead", num_convs=2, conv_out_channels=256,
+        num_classes=cfg.model["bbox_head"]["num_classes"],
+    )
+    cfg.model["mask_roi_extractor"] = dict(
+        roi_layer=dict(out_size=14, out_size_depth=1, sample_num=2),
+        featmap_strides=[4, 8, 16, 32],
+        featmap_strides_depth=[1, 1, 1, 1],
+    )
+    cfg.train_cfg["rcnn"]["mask_size"] = 28
+    cfg.train_cfg["rcnn"]["mask_size_depth"] = 1
+    for k in ("nms_pre", "nms_post", "max_num"):
+        cfg.train_cfg["rpn_proposal"][k] = 16
+        cfg.test_cfg["rpn"][k] = 16
+    cfg.train_cfg["rcnn"]["sampler"]["num"] = 8
+    cfg.test_cfg["rcnn"]["max_per_img"] = 8
+    cfg.test_cfg["return_bbox_only"] = False
+    model = build_detector(cfg)
+    assert model.rgb and model.num_scales == 3 and not model.share_heads
+
+    d, h, w = 1, 64, 64
+    imgs = jnp.zeros((1, d, h, w, 3))
+    variables = model.init(jax.random.PRNGKey(0), imgs)
+    feats = jax.eval_shape(
+        lambda v: model.apply(variables, v, method=model.extract_feat), imgs
+    )
+    aset = pl.build_anchor_set(
+        [f.shape[1:4] for f in feats], (h, w, 3, d), anchor_cfgs(cfg)[0]
+    )
+    batch = {"imgs": imgs}
+    for i, sfx in enumerate(("_r", "_g", "_b")):
+        gtb = np.zeros((1, 3, 6), np.float32)
+        gtb[:, 0] = [4 + 2 * i, 4, 30, 30, 0, 0]
+        gtv = np.zeros((1, 3), bool)
+        gtv[:, 0] = sfx != "_b"  # blue slice has NO gt -> skipped
+        gtl = np.zeros((1, 3), np.int32)
+        gtl[:, 0] = 1
+        batch["gt_boxes" + sfx] = jnp.asarray(gtb)
+        batch["gt_valid" + sfx] = jnp.asarray(gtv)
+        batch["gt_labels" + sfx] = jnp.asarray(gtl)
+        gtm = np.zeros((1, 3, d, h, w), np.uint8)
+        gtm[:, 0, :, 4:31, 4:31] = 1
+        batch["gt_masks" + sfx] = jnp.asarray(gtm)
+    total, losses = pl.forward_train(
+        model, variables, batch, jax.random.PRNGKey(1), cfg, [aset]
+    )
+    assert {"loss_rpn_cls_r", "loss_cls_g", "loss_mask_r"} <= set(losses)
+    # empty blue slice contributes zero loss (reference :140-149 skip)
+    assert float(losses["loss_rpn_cls_b"]) == 0.0
+    assert float(losses["loss_cls_b"]) == 0.0
+    assert float(losses["loss_rpn_cls_r"]) > 0.0
+    assert np.isfinite(float(total))
+    out = pl.simple_test(model, variables, batch, cfg, [aset])
+    for sfx in ("_r", "_g", "_b"):
+        assert out["dets" + sfx].shape == (1, 8, 7)
+        assert "mask_logits" + sfx in out
