@@ -77,16 +77,36 @@ def main():
         fs = [f.shape[1:4] for f in feats]
         sets.append(pl.build_anchor_set(fs, (hh, ww, 3, dd), ac))
 
-    # a unique key per call generates fresh on-device inputs: repeated
-    # identical executions can be served from a result cache in the
-    # remote-execution stack, which would fake the timing
+    # unique inputs per call (repeated identical executions can be
+    # served from a result cache in the remote-execution stack, which
+    # would fake the timing) — but NOT via full in-graph RNG: threefry
+    # for the 768^2x96 volume alone measures ~136 ms on v5e and would
+    # dominate the step.  Device-resident bases + a per-key scalar
+    # perturbation keep every call's inputs unique at ~1 ms cost.
+    base1 = jax.device_put(
+        jax.random.normal(
+            jax.random.PRNGKey(11), (1, d, h, w, 3), jnp.bfloat16
+        )
+    )
+    base2 = jax.device_put(
+        jax.random.normal(
+            jax.random.PRNGKey(12), (1, d2, h2, w2, 3), jnp.bfloat16
+        )
+    )
+    jax.block_until_ready((base1, base2))
+
+    # bases are jit ARGUMENTS, not closures — closed-over multi-hundred-
+    # MB arrays become compile-time constants and blow the remote
+    # compile payload limit
     @jax.jit
-    def infer(key):
-        k1, k2 = jax.random.split(key)
-        imgs = jax.random.normal(k1, (1, d, h, w, 3), jnp.bfloat16)
-        imgs2 = jax.random.normal(k2, (1, d2, h2, w2, 3), jnp.bfloat16)
+    def infer(key, b1, b2):
+        eps = jax.random.normal(key, (), jnp.bfloat16) * 0.01
         out = pl.simple_test(
-            model, variables, dict(imgs=imgs, imgs_2=imgs2), cfg, sets
+            model,
+            variables,
+            dict(imgs=b1 + eps, imgs_2=b2 + eps),
+            cfg,
+            sets,
         )
         return out["dets"], out["valid"]
 
@@ -103,16 +123,18 @@ def main():
             return 0.0
 
     # warmup / compile
-    lowered = infer.lower(jax.random.PRNGKey(1))
+    lowered = infer.lower(jax.random.PRNGKey(1), base1, base2)
     compiled_infer = lowered.compile()
     infer_flops = flops_of(compiled_infer)
-    dets, valid = infer(jax.random.PRNGKey(1))
+    dets, valid = infer(jax.random.PRNGKey(1), base1, base2)
     jax.block_until_ready(dets)
 
     iters = 12
     t0 = time.perf_counter()
     for i in range(iters):
-        dets, valid = infer(jax.random.fold_in(jax.random.PRNGKey(2), i))
+        dets, valid = infer(
+            jax.random.fold_in(jax.random.PRNGKey(2), i), base1, base2
+        )
     jax.block_until_ready(dets)
     dt = (time.perf_counter() - t0) / iters
     value = 1.0 / dt  # volumes (patch pairs) per second per chip
@@ -129,24 +151,25 @@ def main():
         scfg.test_cfg["return_bbox_only"] = False
 
         @jax.jit
-        def infer_segm(key):
-            k1, k2 = jax.random.split(key)
-            imgs = jax.random.normal(k1, (1, d, h, w, 3), jnp.bfloat16)
-            imgs2 = jax.random.normal(
-                k2, (1, d2, h2, w2, 3), jnp.bfloat16
-            )
+        def infer_segm(key, b1, b2):
+            eps = jax.random.normal(key, (), jnp.bfloat16) * 0.01
             out = pl.simple_test(
-                model, variables, dict(imgs=imgs, imgs_2=imgs2), scfg,
+                model,
+                variables,
+                dict(imgs=b1 + eps, imgs_2=b2 + eps),
+                scfg,
                 sets,
             )
             return out["dets"], out["mask_logits"]
 
-        dd, mm = infer_segm(jax.random.PRNGKey(4))
+        dd, mm = infer_segm(jax.random.PRNGKey(4), base1, base2)
         jax.block_until_ready(mm)
         t0 = time.perf_counter()
         for i in range(6):
             dd, mm = infer_segm(
-                jax.random.fold_in(jax.random.PRNGKey(5), i)
+                jax.random.fold_in(jax.random.PRNGKey(5), i),
+                base1,
+                base2,
             )
         jax.block_until_ready(mm)
         segm_dt = (time.perf_counter() - t0) / 6

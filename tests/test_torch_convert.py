@@ -469,3 +469,19 @@ def test_full_forward_replay_parity():
                 np.transpose(np.asarray(gr), (0, 4, 1, 2, 3)),
                 _np(wr), atol=2e-3, err_msg=f"rpn{s} reg lvl {lvl}",
             )
+
+
+def test_s2d4_stem_parity_vs_torch():
+    """4x4 space-to-depth stem == torch Conv3d(3,16,7,(1,2,2),pad=3)."""
+    tconv = torch.nn.Conv3d(3, 16, 7, stride=(1, 2, 2), padding=3,
+                            bias=False)
+    x = torch.randn(1, 3, 6, 32, 32)
+    want = _np(tconv(x))
+
+    from mrcnn3d.models.resnet3d import stem_conv_s2d4
+
+    w = jnp.asarray(_conv_w(_np(tconv.weight)))
+    x_cl = jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 4, 1)))
+    got = stem_conv_s2d4(x_cl, w)
+    got = np.transpose(np.asarray(got), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(got, want, atol=1e-4)
