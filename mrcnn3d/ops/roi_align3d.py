@@ -264,27 +264,41 @@ def multi_level_roi_align_3d(
 
     # Neighbor packing: TPU gathers of rows narrower than the 128-lane
     # tile fall off a performance cliff (measured ~300x slower than
-    # 128-lane rows on v5e). Pack each cell's x+1 — and if still under
-    # 128 lanes, y+1 — neighbor into its row, so every gather row is
-    # >= 128 lanes AND delivers 2 (or 4) trilinear corners at once.
-    # Edge rows pack a zero neighbor; the CUDA edge rule already gives
-    # the high corner weight 0 there (interp collapses to the edge
-    # voxel), so the zeros are never read with nonzero weight.
-    pack_x = c < 128
-    pack_y = 2 * c < 128
+    # 128-lane rows on v5e), and the per-ROW cost then amortizes with
+    # width: measured marginal rates 6.3 / 8.3 / 12.3 ns per row at
+    # 128 / 256 / 512 lanes — i.e. 3.15 -> 1.54 ns per trilinear CORNER
+    # as x, then y, then z neighbors fold into the row.  Pack neighbors
+    # until rows reach 512 lanes, so each gather row delivers up to all
+    # 8 corners at once.  Edge rows pack a zero neighbor; the CUDA edge
+    # rule already gives the high corner weight 0 there (interp
+    # collapses to the edge voxel), so the zeros are never read with
+    # nonzero weight.
+    width = c
+    pack_x = width <= 256
+    width *= 2 if pack_x else 1
+    pack_y = width <= 256
+    width *= 2 if pack_y else 1
+    pack_z = width <= 256
+    width *= 2 if pack_z else 1
+
+    def shift_cat(fp, axis):
+        pad = [(0, 0)] * 5
+        pad[axis] = (0, 1)
+        idx = [slice(None)] * 5
+        idx[axis] = slice(1, None)
+        return jnp.concatenate(
+            [fp, jnp.pad(fp[tuple(idx)], pad)], axis=-1
+        )
+
     packed = []
     for f in feats:
         fp = f
         if pack_x:
-            x_n = jnp.pad(
-                f[:, :, :, 1:, :], ((0, 0), (0, 0), (0, 0), (0, 1), (0, 0))
-            )
-            fp = jnp.concatenate([fp, x_n], axis=-1)
+            fp = shift_cat(fp, 3)
         if pack_y:
-            y_n = jnp.pad(
-                fp[:, :, 1:, :, :], ((0, 0), (0, 0), (0, 1), (0, 0), (0, 0))
-            )
-            fp = jnp.concatenate([fp, y_n], axis=-1)
+            fp = shift_cat(fp, 2)
+        if pack_z:
+            fp = shift_cat(fp, 1)
         packed.append(fp)
     cp = packed[0].shape[-1]
     flat = jnp.concatenate(
@@ -359,13 +373,6 @@ def multi_level_roi_align_3d(
             n, sd, sh_, sw, cp
         )
 
-    def w3(wz, wy, wx):
-        return (
-            wz[:, :, None, None]
-            * wy[:, None, :, None]
-            * wx[:, None, None, :]
-        ).astype(compute_dtype)[..., None]
-
     def bx(wx):
         return wx[:, None, None, :, None].astype(compute_dtype)
 
@@ -375,35 +382,30 @@ def multi_level_roi_align_3d(
     def bz(wz):
         return wz[:, :, None, None, None].astype(compute_dtype)
 
-    if pack_y:
-        # one gather per z corner; lanes hold the 2x2 xy corner block
-        def xy_mix(v):
-            return (
-                v[..., 0 * c : 1 * c] * bx(wxl) + v[..., 1 * c : 2 * c] * bx(wxh)
-            ) * by(wyl) + (
-                v[..., 2 * c : 3 * c] * bx(wxl) + v[..., 3 * c : 4 * c] * bx(wxh)
-            ) * by(wyh)
-
-        acc = xy_mix(fetch(zl, yl, xl)) * bz(wzl)
-        acc += xy_mix(fetch(zh, yl, xl)) * bz(wzh)
-    elif pack_x:
-        # one gather per (z, y) corner pair; lanes hold both x corners
-        def x_mix(v):
-            return v[..., :c] * bx(wxl) + v[..., c:] * bx(wxh)
-
-        acc = x_mix(fetch(zl, yl, xl)) * (bz(wzl) * by(wyl))
-        acc += x_mix(fetch(zl, yh, xl)) * (bz(wzl) * by(wyh))
-        acc += x_mix(fetch(zh, yl, xl)) * (bz(wzh) * by(wyl))
-        acc += x_mix(fetch(zh, yh, xl)) * (bz(wzh) * by(wyh))
-    else:
-        acc = fetch(zl, yl, xl) * w3(wzl, wyl, wxl)
-        acc += fetch(zl, yl, xh) * w3(wzl, wyl, wxh)
-        acc += fetch(zl, yh, xl) * w3(wzl, wyh, wxl)
-        acc += fetch(zl, yh, xh) * w3(wzl, wyh, wxh)
-        acc += fetch(zh, yl, xl) * w3(wzh, wyl, wxl)
-        acc += fetch(zh, yl, xh) * w3(wzh, wyl, wxh)
-        acc += fetch(zh, yh, xl) * w3(wzh, wyh, wxl)
-        acc += fetch(zh, yh, xh) * w3(wzh, wyh, wxh)
+    # One fetch per UNpacked corner combination; packed dims unfold from
+    # the row lanes.  Slice layout (units of c) after packing x, then y,
+    # then z: idx = zi * (px2 * py2) + yi * px2 + xi.
+    px2 = 2 if pack_x else 1
+    py2 = 2 if pack_y else 1
+    z_fetch = [(zl, wzl), (zh, wzh)] if not pack_z else [(zl, None)]
+    y_fetch = [(yl, wyl), (yh, wyh)] if not pack_y else [(yl, None)]
+    x_fetch = [(xl, wxl), (xh, wxh)] if not pack_x else [(xl, None)]
+    acc = None
+    for zi, wz_f in z_fetch:
+        for yi, wy_f in y_fetch:
+            for xi, wx_f in x_fetch:
+                v = fetch(zi, yi, xi)
+                for zp in range(2 if pack_z else 1):
+                    wz = (wzl, wzh)[zp] if pack_z else wz_f
+                    for yp in range(2 if pack_y else 1):
+                        wy = (wyl, wyh)[yp] if pack_y else wy_f
+                        for xp in range(2 if pack_x else 1):
+                            wx = (wxl, wxh)[xp] if pack_x else wx_f
+                            s = (zp * py2 + yp) * px2 + xp
+                            term = v[..., s * c:(s + 1) * c] * (
+                                bz(wz) * by(wy) * bx(wx)
+                            )
+                            acc = term if acc is None else acc + term
 
     ok = zin[:, :, None, None] & yin[:, None, :, None] & xin[:, None, None, :]
     if valid is not None:

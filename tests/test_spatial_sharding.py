@@ -42,3 +42,60 @@ def test_depth_sharded_backbone_matches_replicated():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-4
         )
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+def test_batched_dp_inference_matches_serial():
+    """shard_map batched inference over the data mesh == per-volume
+    serial simple_test (BASELINE flow 5)."""
+    from mrcnn3d.detectors import pipeline as pl
+    from mrcnn3d.detectors.build import anchor_cfgs, build_detector
+    from mrcnn3d.parallel.batched import make_batched_infer
+    from mrcnn3d.utils.config import Config
+
+    cfg = Config.fromfile("configs/mask_rcnn_3d_2scales.py")
+    cfg.model["type"] = "MaskRCNN3D"
+    cfg.model["backbone"]["depth"] = 18
+    cfg.model.pop("rpn_head_2", None)
+    cfg.model.pop("mask_head", None)
+    cfg.model.pop("refinement_head", None)
+    cfg.model.pop("refinement_mask_head", None)
+    for k in ("nms_pre", "nms_post", "max_num"):
+        cfg.test_cfg["rpn"][k] = 16
+    cfg.test_cfg["rcnn"]["max_per_img"] = 8
+
+    model = build_detector(cfg)
+    d, h, w = 8, 32, 32
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, d, h, w, 3))
+    )
+    feats = jax.eval_shape(
+        lambda v: model.apply(variables, v, method=model.extract_feat),
+        jnp.zeros((1, d, h, w, 3)),
+    )
+    aset = pl.build_anchor_set(
+        [f.shape[1:4] for f in feats], (h, w, 3, d), anchor_cfgs(cfg)[0]
+    )
+
+    rng = np.random.RandomState(1)
+    imgs = jnp.asarray(rng.randn(8, d, h, w, 3), jnp.float32)
+
+    mesh = make_mesh(8)
+    run = make_batched_infer(model, variables, cfg, [aset], mesh)
+    out = run(dict(imgs=imgs))
+    assert out["dets"].shape == (8, 8, 7)
+
+    # serial per-volume reference
+    for i in (0, 3, 7):
+        ref = pl.simple_test(
+            model, variables, dict(imgs=imgs[i:i + 1]), cfg, [aset]
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["dets"][i]), np.asarray(ref["dets"][0]),
+            atol=1e-4,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["valid"][i]), np.asarray(ref["valid"][0])
+        )
