@@ -454,29 +454,45 @@ def mask_target_single(
     yl, yh, wyl, wyh = interp_axis(yc, h)
     xl, xh, wxl, wxh = interp_axis(xc, w)
 
-    flat = gt_masks.reshape(g, d * h * w)
-    pg = pos_gt_idx
-
-    def corner(zi, yi, xi, wz, wy, wx):
-        idx = (zi[:, :, None, None] * h + yi[:, None, :, None]) * w + xi[
-            :, None, None, :
-        ]
-        vals = jnp.take_along_axis(
-            flat[pg], idx.reshape(idx.shape[0], -1), axis=1
-        ).reshape(idx.shape)
-        wgt = (
-            wz[:, :, None, None] * wy[:, None, :, None] * wx[:, None, None, :]
+    # Separable trilinear sampling as three per-roi interpolation-matrix
+    # contractions on the MXU.  The previous per-corner formulation
+    # gathered SCALAR elements (the mask has no channel dim), which on
+    # TPU runs ~128x under the gather fast path's row rate — measured
+    # 580 ms for 256 positives at crop geometry vs ~8 ms for this form.
+    # The trilinear weighted sum is mathematically identical (the 2-tap
+    # matrices are exactly the corner weights).
+    def axis_matrix(lo, hi, wl, wh, dim):
+        cols = jax.lax.broadcasted_iota(
+            jnp.int32, lo.shape + (dim,), 2
         )
-        return vals.astype(jnp.float32) * wgt
+        return (
+            (cols == lo[..., None]).astype(jnp.float32) * wl[..., None]
+            + (cols == hi[..., None]).astype(jnp.float32) * wh[..., None]
+        )
 
-    acc = corner(zl, yl, xl, wzl, wyl, wxl)
-    acc += corner(zl, yl, xh, wzl, wyl, wxh)
-    acc += corner(zl, yh, xl, wzl, wyh, wxl)
-    acc += corner(zl, yh, xh, wzl, wyh, wxh)
-    acc += corner(zh, yl, xl, wzh, wyl, wxl)
-    acc += corner(zh, yl, xh, wzh, wyl, wxh)
-    acc += corner(zh, yh, xl, wzh, wyh, wxl)
-    acc += corner(zh, yh, xh, wzh, wyh, wxh)
+    mz = axis_matrix(zl, zh, wzl, wzh, d)  # (P, Dm, D)
+    my = axis_matrix(yl, yh, wyl, wyh, h)  # (P, Hm, H)
+    mx = axis_matrix(xl, xh, wxl, wxh, w)  # (P, Wm, W)
+
+    # fold the per-roi gt selection into the z matrix (one-hot over G):
+    # the first contraction then reads the G gt masks ONCE instead of
+    # materializing a (P, D, H, W) per-roi copy (1 GB at crop geometry)
+    onehot = (
+        jnp.arange(g)[None, :] == pos_gt_idx[:, None]
+    ).astype(jnp.float32)  # (P, G)
+    mzg = jnp.einsum("pg,pzd->pzgd", onehot, mz)
+    acc = jnp.einsum(
+        "gdhw,pzgd->pzhw",
+        gt_masks.astype(jnp.float32),
+        mzg,
+        preferred_element_type=jnp.float32,
+    )
+    acc = jnp.einsum(
+        "pzhw,pyh->pzyw", acc, my, preferred_element_type=jnp.float32
+    )
+    acc = jnp.einsum(
+        "pzyw,pxw->pzyx", acc, mx, preferred_element_type=jnp.float32
+    )
 
     targets = (acc >= 1.0 / 255.0).astype(jnp.float32)
     return jnp.where(pos_mask[:, None, None, None], targets, 0.0)
