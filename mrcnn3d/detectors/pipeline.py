@@ -886,6 +886,18 @@ def _roi_align_cfg(feats, rois, roi_cfg, valid=None, chunk=0):
         kw["max_hw"] = int(layer.get("pallas_max_hw", 32))
         kw["interpret"] = jax.default_backend() != "tpu"
     elif chunk and rois.shape[0] > chunk:
+        # bound the live gather slab: with full corner packing each roi
+        # materializes out_vox * sn^3 rows of up to 512 lanes (bf16) —
+        # 16 MB/roi at mask geometry — so scale the chunk to a ~1 GB
+        # slab instead of trusting the caller's roi count
+        layer_sn = int(layer.get("sample_num", 2))
+        out_vox = (
+            int(layer.get("out_size", 7)) ** 2
+            * int(layer.get("out_size_depth", 3))
+            * layer_sn ** 3
+        )
+        per_roi = out_vox * 512 * 2
+        chunk = max(32, min(chunk, (1 << 30) // per_roi))
         fn = multi_level_roi_align_3d_chunked
         kw["chunk"] = chunk
     return fn(
