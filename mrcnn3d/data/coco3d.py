@@ -48,6 +48,7 @@ class Coco3DDataset:
         max_gt=16,
         extra_aug=None,
         seed=None,
+        cache_masks=False,
     ):
         self.img_prefix = img_prefix
         self.img_norm_cfg = img_norm_cfg
@@ -55,6 +56,10 @@ class Coco3DDataset:
         self.with_mask = with_mask
         self.test_mode = test_mode
         self.max_gt = max_gt
+        # optional whole-run in-memory segmentation cache (reference
+        # CustomDataset.load_mask_from_memory, custom.py:164-176)
+        self.cache_masks = cache_masks
+        self._mask_cache = {}
         self.rng = np.random.RandomState(seed)
         self.crop = None
         if extra_aug:
@@ -96,7 +101,13 @@ class Coco3DDataset:
     def _load_masks(self, anns):
         masks = []
         for a in anns:
-            seg = np.load(a["segmentation"], allow_pickle=True)
+            path = a["segmentation"]
+            if self.cache_masks and path in self._mask_cache:
+                seg = self._mask_cache[path]
+            else:
+                seg = np.load(path, allow_pickle=True)
+                if self.cache_masks:
+                    self._mask_cache[path] = seg
             masks.append((seg == a.get("segmentation_label", 1)).astype(np.uint8))
         return masks  # list of (H, W, D)
 

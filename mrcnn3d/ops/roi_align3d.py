@@ -212,6 +212,63 @@ def multi_level_roi_align_3d_reference(
     return out
 
 
+def pack_feature_table(feats):
+    """Build the corner-packed flat gather table for a feature pyramid.
+
+    TPU gathers of rows narrower than the 128-lane tile fall off a
+    performance cliff (measured ~300x slower than 128-lane rows on
+    v5e), and the per-ROW cost then amortizes with width: measured
+    marginal rates 6.3 / 8.3 / 12.3 ns per row at 128 / 256 / 512
+    lanes — i.e. 3.15 -> 1.54 ns per trilinear CORNER as x, then y,
+    then z neighbors fold into the row.  Pack neighbors until rows
+    reach 512 lanes, so each gather row delivers up to all 8 corners at
+    once.  Edge rows pack a zero neighbor; the CUDA edge rule already
+    gives the high corner weight 0 there (interp collapses to the edge
+    voxel), so the zeros are never read with nonzero weight.
+
+    Returns (flat (rows, packedC), pack_x, pack_y, pack_z); build ONCE
+    per feature set and reuse across align calls (the chunked mask path
+    would otherwise rebuild the 8x table per chunk).
+    """
+    c = feats[0].shape[-1]
+    width = c
+    pack_x = width <= 256
+    width *= 2 if pack_x else 1
+    pack_y = width <= 256
+    width *= 2 if pack_y else 1
+    pack_z = width <= 256
+    width *= 2 if pack_z else 1
+
+    def shift_cat(fp, axis):
+        pad = [(0, 0)] * 5
+        pad[axis] = (0, 1)
+        idx = [slice(None)] * 5
+        idx[axis] = slice(1, None)
+        return jnp.concatenate(
+            [fp, jnp.pad(fp[tuple(idx)], pad)], axis=-1
+        )
+
+    packed = []
+    for f in feats:
+        fp = f
+        if pack_x:
+            fp = shift_cat(fp, 3)
+        if pack_y:
+            fp = shift_cat(fp, 2)
+        if pack_z:
+            fp = shift_cat(fp, 1)
+        packed.append(fp)
+    cp = packed[0].shape[-1]
+    flat = jnp.concatenate(
+        [f.reshape(-1, cp) for f in packed], axis=0
+    )  # (sum(B*D*H*W), packed C)
+    # materialize the packed table: if XLA fuses the pad/concat into the
+    # gather, the gather reads a computed operand and falls off the fast
+    # path (measured ~100x slower)
+    flat = jax.lax.optimization_barrier(flat)
+    return flat, pack_x, pack_y, pack_z
+
+
 def multi_level_roi_align_3d(
     feats,
     rois,
@@ -222,6 +279,7 @@ def multi_level_roi_align_3d(
     sample_num=2,
     finest_scale=56,
     valid=None,
+    prepacked=None,
 ):
     """FPN-level-dispatched RoIAlign — fused single pass (corner gathers).
 
@@ -262,52 +320,10 @@ def multi_level_roi_align_3d(
         [1.0 / s for s in featmap_strides_depth], np.float32
     )
 
-    # Neighbor packing: TPU gathers of rows narrower than the 128-lane
-    # tile fall off a performance cliff (measured ~300x slower than
-    # 128-lane rows on v5e), and the per-ROW cost then amortizes with
-    # width: measured marginal rates 6.3 / 8.3 / 12.3 ns per row at
-    # 128 / 256 / 512 lanes — i.e. 3.15 -> 1.54 ns per trilinear CORNER
-    # as x, then y, then z neighbors fold into the row.  Pack neighbors
-    # until rows reach 512 lanes, so each gather row delivers up to all
-    # 8 corners at once.  Edge rows pack a zero neighbor; the CUDA edge
-    # rule already gives the high corner weight 0 there (interp
-    # collapses to the edge voxel), so the zeros are never read with
-    # nonzero weight.
-    width = c
-    pack_x = width <= 256
-    width *= 2 if pack_x else 1
-    pack_y = width <= 256
-    width *= 2 if pack_y else 1
-    pack_z = width <= 256
-    width *= 2 if pack_z else 1
-
-    def shift_cat(fp, axis):
-        pad = [(0, 0)] * 5
-        pad[axis] = (0, 1)
-        idx = [slice(None)] * 5
-        idx[axis] = slice(1, None)
-        return jnp.concatenate(
-            [fp, jnp.pad(fp[tuple(idx)], pad)], axis=-1
-        )
-
-    packed = []
-    for f in feats:
-        fp = f
-        if pack_x:
-            fp = shift_cat(fp, 3)
-        if pack_y:
-            fp = shift_cat(fp, 2)
-        if pack_z:
-            fp = shift_cat(fp, 1)
-        packed.append(fp)
-    cp = packed[0].shape[-1]
-    flat = jnp.concatenate(
-        [f.reshape(-1, cp) for f in packed], axis=0
-    )  # (sum(B*D*H*W), packed C)
-    # materialize the packed table: if XLA fuses the pad/concat into the
-    # gather, the gather reads a computed operand and falls off the fast
-    # path (measured ~100x slower)
-    flat = jax.lax.optimization_barrier(flat)
+    if prepacked is None:
+        prepacked = pack_feature_table(feats)
+    flat, pack_x, pack_y, pack_z = prepacked
+    cp = flat.shape[-1]
 
     # per-roi level params
     t = target
@@ -450,12 +466,14 @@ def multi_level_roi_align_3d_chunked(
         rois = jnp.concatenate([rois, jnp.zeros((pad, 7), rois.dtype)])
         valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
     k = (n + pad) // chunk
+    prepacked = pack_feature_table(feats)  # ONCE, not per chunk
 
     def body(args):
         r, v = args
         return multi_level_roi_align_3d(
             feats, r, out_size, out_size_depth, featmap_strides,
             featmap_strides_depth, sample_num, finest_scale, v,
+            prepacked=prepacked,
         )
 
     out = jax.lax.map(

@@ -110,3 +110,33 @@ def test_concat_and_repeat(rgb_root):
     rep = RepeatDataset(ds, 5)
     assert len(rep) == 5
     assert rep[4]["gt_valid_g"].sum() == 1
+
+
+def test_voc_eval_tool(voc_root, tmp_path, monkeypatch, capsys):
+    """tools/voc_eval.py computes per-class AP from saved results."""
+    import pickle
+    import sys
+
+    lst, root = voc_root
+    # perfect detection of the dog box (xyxy -1 applied by the parser)
+    dog = VOCDataset.CLASSES.index("dog")
+    per_class = [np.zeros((0, 7), np.float32) for _ in VOCDataset.CLASSES]
+    per_class[dog] = np.array([[4, 5, 14, 17, 0, 0, 0.9]], np.float32)
+    res_file = tmp_path / "results.pkl"
+    with open(res_file, "wb") as f:
+        pickle.dump([per_class], f)
+
+    sys.path.insert(0, "tools")
+    import importlib
+
+    voc_eval = importlib.import_module("voc_eval")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["voc_eval.py", str(res_file), lst, root],
+    )
+    voc_eval.main()
+    out = capsys.readouterr().out
+    assert "dog" in out and "mAP" in out
+    # the dog AP line shows a perfect 1.0
+    dog_line = [ln for ln in out.splitlines() if ln.startswith("dog")][0]
+    assert "1.0000" in dog_line
