@@ -53,6 +53,7 @@ from ..ops.nms3d import nms_3d
 from ..ops.roi_align3d import (
     multi_level_roi_align_3d,
     multi_level_roi_align_3d_chunked,
+    pack_feature_table,
 )
 
 RPN_MEANS = (0.0,) * 6
@@ -870,9 +871,15 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
 # ---------------------------------------------------------------------------
 
 
-def _roi_align_cfg(feats, rois, roi_cfg, valid=None, chunk=0):
+def _roi_align_cfg(feats, rois, roi_cfg, valid=None, chunk=0,
+                   prepacked=None):
     fn = multi_level_roi_align_3d
     kw = {}
+    if prepacked is not None:
+        # shared corner-packed table (see pack_feature_table): the bbox,
+        # refinement and mask paths align against the SAME 1.0x features
+        # within one program, so the caller builds the 8x table once
+        kw["prepacked"] = prepacked
     layer = roi_cfg.get("roi_layer", {})
     if layer.get("use_pallas", False):
         # opt-in Pallas crop kernel (window DMA + MXU interpolation);
@@ -882,6 +889,7 @@ def _roi_align_cfg(feats, rois, roi_cfg, valid=None, chunk=0):
         )
 
         fn = multi_level_roi_align_3d_pallas
+        kw.pop("prepacked", None)  # crop kernel reads raw features
         kw["max_d"] = int(layer.get("pallas_max_d", 16))
         kw["max_hw"] = int(layer.get("pallas_max_hw", 32))
         kw["interpret"] = jax.default_backend() != "tpu"
@@ -987,6 +995,8 @@ def simple_test(
         )
 
     feats_s, boxes_s, scores_s, valid_s, parcel_s = [], [], [], [], []
+    packed0 = None  # shared packed table for every 1.0x-feature align
+    n_lvl = len(roi_cfg["featmap_strides"]) if roi_cfg else 0
     for s in range(model.num_scales):
         sfx = suffixes[s]
         imgs = batch["imgs" + sfx]
@@ -1001,7 +1011,12 @@ def simple_test(
             means=rpn_means, stds=rpn_stds,
         )
         rois, rvalid = flat_rois(pboxes, pvalid)
-        roi_feats = _roi_align_cfg(feats, rois, roi_cfg, rvalid)
+        if s == 0 and not roi_cfg["roi_layer"].get("use_pallas", False):
+            packed0 = pack_feature_table(list(feats[:n_lvl]))
+        roi_feats = _roi_align_cfg(
+            feats, rois, roi_cfg, rvalid,
+            prepacked=packed0 if s == 0 else None,
+        )
         head_out = apply(roi_feats, s, method=model.bbox_forward)
         cls_score, bbox_pred = head_out[0], head_out[1]
         if model.num_parcellations > 0:
@@ -1035,7 +1050,9 @@ def simple_test(
         img_shape = (imgs.shape[2], imgs.shape[3], 3, imgs.shape[1])
         ref_in = boxes_s[1][..., 6:12]
         rois, rvalid = flat_rois(ref_in, valid_s[1])
-        roi_feats = _roi_align_cfg(feats_s[0], rois, roi_cfg, rvalid)
+        roi_feats = _roi_align_cfg(
+            feats_s[0], rois, roi_cfg, rvalid, prepacked=packed0
+        )
         ref_pred = apply(roi_feats, method=model.refinement_forward)
         ref_boxes = delta2bbox3d(
             rois[:, 1:],
@@ -1081,9 +1098,15 @@ def simple_test(
         mask_roi_cfg = cfg.model["mask_roi_extractor"]
         det_boxes = dets[..., :6]
         rois, rvalid = flat_rois(det_boxes, dvalid)
+        mask_pack = (
+            packed0
+            if len(mask_roi_cfg["featmap_strides"]) == n_lvl
+            else None
+        )
         mfeats = _roi_align_cfg(
             feats_s[0], rois, mask_roi_cfg, rvalid,
             chunk=int(test_cfg.get("mask_roi_chunk", 512)),
+            prepacked=mask_pack,
         )
         mpred = apply(mfeats, 0, method=model.mask_forward)
         if model.with_refinement_mask and model.num_scales >= 2:

@@ -443,6 +443,7 @@ def multi_level_roi_align_3d_chunked(
     finest_scale=56,
     valid=None,
     chunk=512,
+    prepacked=None,
 ):
     """Memory-bounded multi-level RoIAlign: `lax.map` over roi chunks.
 
@@ -458,6 +459,7 @@ def multi_level_roi_align_3d_chunked(
         return multi_level_roi_align_3d(
             feats, rois, out_size, out_size_depth, featmap_strides,
             featmap_strides_depth, sample_num, finest_scale, valid,
+            prepacked=prepacked,
         )
     if valid is None:
         valid = jnp.ones((n,), bool)
@@ -466,7 +468,8 @@ def multi_level_roi_align_3d_chunked(
         rois = jnp.concatenate([rois, jnp.zeros((pad, 7), rois.dtype)])
         valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
     k = (n + pad) // chunk
-    prepacked = pack_feature_table(feats)  # ONCE, not per chunk
+    if prepacked is None:
+        prepacked = pack_feature_table(feats)  # ONCE, not per chunk
 
     def body(args):
         r, v = args
