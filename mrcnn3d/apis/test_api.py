@@ -187,8 +187,13 @@ def evaluate_dataset(
         evaluator = CocoEval3D(dataset.coco, entries, iou_type="segm")
         return evaluator.named_stats(prefix="segm")
     results, infos = out[:2]
-    entries = results2json3d(results, infos)
+    # patch->global merge must run over the FULL entry set: patches of
+    # one volume can land on different ranks, so gather raw entries
+    # first and merge after (single-process path merges inline)
+    entries = results2json3d(results, infos, merge=(world == 1))
     if world > 1:
-        entries = allgather_entries(entries)
+        from ..eval.results import merge_patch_detections
+
+        entries = merge_patch_detections(allgather_entries(entries))
     evaluator = CocoEval3D(dataset.coco, entries, iou_type="bbox")
     return evaluator.named_stats(prefix="bbox")

@@ -155,9 +155,15 @@ def ssd_anchor_generators(anchor_cfg):
             anchor_depth_base=1,
             ctr=ctr,
         )
+        # Reference selection (ssd_head.py:84-87): with scale_major=False
+        # the torch layout is SCALE-outer (row = s*R + r,
+        # anchor_generator.py:32-34) and index_select([0, R, 1..R-1])
+        # picks rows (s0,r0), (s1,r0), (s0,r1), ..., (s0,r_{R-1}) — i.e.
+        # min-size square, geomean square, then min-size at each extra
+        # aspect.  Our generator is ratio-outer (row = r*S + s), so the
+        # same selection maps to [0, 1, 2, 4, ..., 2(R-1)].
         nr = len(ratios)
-        indices = list(range(nr))
-        indices.insert(1, nr)
+        indices = [0, 1] + [2 * k for k in range(1, nr)]
         base = gen.base_anchors[indices]
         base[:, 4:6] = 0.0  # depth-1: degenerate z extent
         gen.base_anchors = base

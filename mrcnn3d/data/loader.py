@@ -190,11 +190,21 @@ class Prefetcher:
                         return
                     pending.append(submit(int(i)))
 
-            refill()
-            while pending:
-                fut = pending.popleft()
-                batch.append(decode(fut.result()))
+            try:
                 refill()
+                while pending:
+                    fut = pending.popleft()
+                    batch.append(decode(fut.result()))
+                    refill()
+            finally:
+                # decode-and-discard any in-flight results so their
+                # shared-memory segments are unlinked (process mode);
+                # without this an error path leaks /dev/shm space
+                for fut in pending:
+                    try:
+                        decode(fut.result(timeout=5))
+                    except Exception:
+                        pass
                 if len(batch) == self.batch_size:
                     b = collate(batch)
                     if self.device_put:

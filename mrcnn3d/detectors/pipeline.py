@@ -806,57 +806,15 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
     # ---- mask heads (reference :301-327) ----
     if model.with_mask:
         mask_roi_cfg = cfg.model["mask_roi_extractor"]
-        mcfg = rcnn_cfg
-
-        def mask_branch(samples, fwd):
-            # positives = first pos slots of each image's packed sample
-            pos_quota = int(
-                round(mcfg["sampler"]["num"] * mcfg["sampler"]["pos_fraction"])
-            )
-            pos_rois = samples.rois[:, :pos_quota]
-            pos_mask = samples.is_pos[:, :pos_quota]
-            pos_gt = samples.gt_idx[:, :pos_quota]
-            pos_labels = samples.labels[:, :pos_quota]
-
-            rois, rvalid = flat_rois(pos_rois, pos_mask)
-            mfeats = multi_level_roi_align_3d(
-                list(feats_s[0][: len(mask_roi_cfg["featmap_strides"])]),
-                rois,
-                mask_roi_cfg["roi_layer"]["out_size"],
-                mask_roi_cfg["roi_layer"]["out_size_depth"],
-                mask_roi_cfg["featmap_strides"],
-                mask_roi_cfg["featmap_strides_depth"],
-                mask_roi_cfg["roi_layer"]["sample_num"],
-                valid=rvalid,
-            )
-            mpred = fwd(mfeats)
-            mtargets = jax.vmap(
-                lambda pr, pm, pgi, gm: mask_target_single(
-                    pr,
-                    pm,
-                    pgi,
-                    gm,
-                    mcfg["mask_size"],
-                    mcfg["mask_size_depth"],
-                )
-            )(pos_rois, pos_mask, pos_gt, batch["gt_masks"])
-            flat_targets = mtargets.reshape(
-                -1, mcfg["mask_size_depth"], mcfg["mask_size"], mcfg["mask_size"]
-            )
-            return mask_cross_entropy(
-                mpred,
-                flat_targets,
-                pos_labels.reshape(-1),
-                valid=rvalid,
-            )
-
-        losses["loss_mask"] = mask_branch(
-            samples_s[0],
+        losses["loss_mask"] = _mask_branch_loss(
+            list(feats_s[0]), samples_s[0], batch["gt_masks"],
+            mask_roi_cfg, rcnn_cfg,
             lambda f: apply(f, 0, method=model.mask_forward),
         )
         if model.with_refinement_mask and model.with_refinement:
-            losses["loss_mask_refinement"] = mask_branch(
-                ref_samples,
+            losses["loss_mask_refinement"] = _mask_branch_loss(
+                list(feats_s[0]), ref_samples, batch["gt_masks"],
+                mask_roi_cfg, rcnn_cfg,
                 lambda f: apply(f, method=model.refinement_mask_forward),
             )
 
@@ -1178,14 +1136,14 @@ def _semantic_roi_feats(sem_feat, rois, rvalid, cfg, out, out_d):
     return x
 
 
-def _htc_mask_stage_loss(
-    model, apply, feats, sem_feat, samples, stage, batch, cfg, rc
+def _mask_branch_loss(
+    feats, samples, gt_masks, mask_roi_cfg, rc, fwd, fuse=None
 ):
-    """One HTC mask stage: pos rois -> roi feats (+semantic fusion) ->
-    info-flow through heads 0..stage-1 -> stage logits -> mask BCE
-    (reference htc.py:72-111)."""
-    mask_roi_cfg = cfg.model["mask_roi_extractor"]
-    fusion = tuple(cfg.model.get("semantic_fusion", ("bbox", "mask")))
+    """Shared positive-roi mask branch (reference :301-327 /
+    htc.py:72-111 / two_stage_rgb.py:203-238): pos-quota slice ->
+    roi align (+optional feature fusion) -> `fwd` logits -> on-device
+    mask targets -> mask BCE.  Serves the standard, refinement, HTC and
+    RGB train paths."""
     pos_quota = int(
         round(rc["sampler"]["num"] * rc["sampler"]["pos_fraction"])
     )
@@ -1196,31 +1154,54 @@ def _htc_mask_stage_loss(
 
     rois, rvalid = flat_rois(pos_rois, pos_mask)
     mfeats = _roi_align_cfg(feats, rois, mask_roi_cfg, rvalid)
-    if sem_feat is not None and "mask" in fusion:
-        mfeats = mfeats + _semantic_roi_feats(
-            sem_feat, rois, rvalid, cfg,
-            mask_roi_cfg["roi_layer"]["out_size"],
-            mask_roi_cfg["roi_layer"]["out_size_depth"],
-        )
-    last = None
-    if cfg.model.get("mask_info_flow", True):
-        for i in range(stage):
-            # gradients flow through earlier heads, as in the reference
-            # (htc.py:98-103 runs them inside the training graph)
-            _, last = apply(
-                mfeats, last, i, False, method=model.htc_mask_forward
-            )
-    mpred, _ = apply(mfeats, last, stage, method=model.htc_mask_forward)
+    if fuse is not None:
+        mfeats = mfeats + fuse(rois, rvalid)
+    mpred = fwd(mfeats)
     mtargets = jax.vmap(
         lambda pr, pm, pgi, gm: mask_target_single(
             pr, pm, pgi, gm, rc["mask_size"], rc["mask_size_depth"]
         )
-    )(pos_rois, pos_mask, pos_gt, batch["gt_masks"])
+    )(pos_rois, pos_mask, pos_gt, gt_masks)
     flat_targets = mtargets.reshape(
         -1, rc["mask_size_depth"], rc["mask_size"], rc["mask_size"]
     )
     return mask_cross_entropy(
         mpred, flat_targets, pos_labels.reshape(-1), valid=rvalid
+    )
+
+
+def _htc_mask_stage_loss(
+    model, apply, feats, sem_feat, samples, stage, batch, cfg, rc
+):
+    """One HTC mask stage: the shared mask branch with semantic fusion
+    and info-flow through heads 0..stage-1 (reference htc.py:72-111)."""
+    mask_roi_cfg = cfg.model["mask_roi_extractor"]
+    fusion = tuple(cfg.model.get("semantic_fusion", ("bbox", "mask")))
+    fuse = None
+    if sem_feat is not None and "mask" in fusion:
+        fuse = lambda rois, rvalid: _semantic_roi_feats(  # noqa: E731
+            sem_feat, rois, rvalid, cfg,
+            mask_roi_cfg["roi_layer"]["out_size"],
+            mask_roi_cfg["roi_layer"]["out_size_depth"],
+        )
+
+    def fwd(mfeats):
+        last = None
+        if cfg.model.get("mask_info_flow", True):
+            for i in range(stage):
+                # gradients flow through earlier heads, as in the
+                # reference (htc.py:98-103 runs them in-graph)
+                _, last = apply(
+                    mfeats, last, i, False, method=model.htc_mask_forward
+                )
+        mpred, _ = apply(
+            mfeats, last, stage, method=model.htc_mask_forward
+        )
+        return mpred
+
+    return _mask_branch_loss(
+        feats, samples, batch["gt_masks"], mask_roi_cfg, rc, fwd,
+        fuse=fuse,
     )
 
 
@@ -1446,31 +1427,10 @@ def rgb_forward_train(model, variables, batch, rng, cfg, anchor_sets):
         losses.update({k: w_slice * v for k, v in bl.items()})
 
         if model.with_mask and ("gt_masks" + sfx) in batch:
-            mask_roi_cfg = cfg.model["mask_roi_extractor"]
-            pos_quota = int(round(
-                rcnn_cfg["sampler"]["num"]
-                * rcnn_cfg["sampler"]["pos_fraction"]
-            ))
-            pos_rois = samples.rois[:, :pos_quota]
-            pos_mask = samples.is_pos[:, :pos_quota]
-            pos_gt = samples.gt_idx[:, :pos_quota]
-            pos_labels = samples.labels[:, :pos_quota]
-            mrois, mrvalid = flat_rois(pos_rois, pos_mask)
-            mfeats = _roi_align_cfg(feats, mrois, mask_roi_cfg, mrvalid)
-            mpred = apply(mfeats, s, method=model.mask_forward)
-            mtargets = jax.vmap(
-                lambda pr, pm, pgi, gm: mask_target_single(
-                    pr, pm, pgi, gm,
-                    rcnn_cfg["mask_size"], rcnn_cfg["mask_size_depth"],
-                )
-            )(pos_rois, pos_mask, pos_gt, batch["gt_masks" + sfx])
-            flat_targets = mtargets.reshape(
-                -1, rcnn_cfg["mask_size_depth"], rcnn_cfg["mask_size"],
-                rcnn_cfg["mask_size"],
-            )
-            losses["loss_mask" + sfx] = w_slice * mask_cross_entropy(
-                mpred, flat_targets, pos_labels.reshape(-1),
-                valid=mrvalid,
+            losses["loss_mask" + sfx] = w_slice * _mask_branch_loss(
+                feats, samples, batch["gt_masks" + sfx],
+                cfg.model["mask_roi_extractor"], rcnn_cfg,
+                lambda f, s=s: apply(f, s, method=model.mask_forward),
             )
 
     total = sum(v for k, v in losses.items() if "loss" in k)

@@ -268,7 +268,7 @@ def multi_level_roi_align_3d_pallas(
     DMA, so the x num_levels overhead is acceptable for the opt-in path;
     window bounds shrink to each level's extent.
     """
-    from .roi_align3d import map_roi_levels
+    from .roi_align3d import map_roi_levels, multi_level_roi_align_3d
 
     num_levels = len(feats)
     target = map_roi_levels(rois, num_levels, finest_scale)
@@ -276,23 +276,38 @@ def multi_level_roi_align_3d_pallas(
         target = jnp.where(valid, target, 0)
     out = None
     for lvl, f in enumerate(feats):
-        # shrink windows to the level extent; W keeps 8 cells of
-        # alignment slack (kernel requirement w >= max_hw + 8).  Level
-        # dispatch bounds per-level roi extent, so coarse levels fit.
+        # The crop kernel needs W >= max_hw + 8 (alignment slack) and a
+        # window covering the per-level roi extent.  Coarse pyramid
+        # levels are too small for that — rois dispatched there would
+        # clamp (wrong features) or trip the kernel assert — so those
+        # levels fall back to the XLA gather op; the per-level masked
+        # sum composes both backends transparently.
         md = min(max_d, f.shape[1])
-        mh = min(max_hw, f.shape[2], max(f.shape[3] - 8, 1))
-        o = roi_align_3d_pallas(
-            f,
-            rois,
-            out_size,
-            out_size_depth,
-            1.0 / featmap_strides[lvl],
-            1.0 / featmap_strides_depth[lvl],
-            sample_num,
-            max_d=md,
-            max_hw=mh,
-            interpret=interpret,
-        )
+        mh = min(max_hw, f.shape[2])
+        if f.shape[3] < mh + 8 or mh < 16:
+            o = multi_level_roi_align_3d(
+                [f],
+                rois,
+                out_size,
+                out_size_depth,
+                [featmap_strides[lvl]],
+                [featmap_strides_depth[lvl]],
+                sample_num,
+                finest_scale=finest_scale,
+            )
+        else:
+            o = roi_align_3d_pallas(
+                f,
+                rois,
+                out_size,
+                out_size_depth,
+                1.0 / featmap_strides[lvl],
+                1.0 / featmap_strides_depth[lvl],
+                sample_num,
+                max_d=md,
+                max_hw=mh,
+                interpret=interpret,
+            )
         # each roi maps to exactly one level -> masked sum selects it
         sel = (target == lvl)[:, None, None, None, None]
         o = jnp.where(sel, o, 0.0)

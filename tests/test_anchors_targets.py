@@ -332,3 +332,41 @@ class TestHardNegativeSampler:
             proposal_scores=jnp.asarray([0.9, 0.7, 0.2]),
         )
         assert bool(s.is_pos.any())
+
+
+def test_ssd_anchor_values():
+    """SSD base anchors reproduce the reference set (ssd_head.py:72-88
+    with scale_major=False): [min square, sqrt(min*max) square, then the
+    min-size anchor at each extra aspect ratio]."""
+    from mrcnn3d.core.anchors import ssd_anchor_generators
+
+    cfg = dict(
+        input_size=300,
+        anchor_strides=[8, 16, 32, 64, 100, 300],
+        anchor_ratios=([2], [2, 3], [2, 3], [2, 3], [2], [2]),
+        basesize_ratio_range=(0.15, 0.9),
+    )
+    gens = ssd_anchor_generators(cfg)
+    assert [g.base_anchors.shape[0] for g in gens] == [4, 6, 6, 6, 4, 4]
+
+    def wh(b):
+        return b[:, 2] - b[:, 0] + 1, b[:, 3] - b[:, 1] + 1
+
+    # level 0: min 21, max 45 (300*7/100, 300*15/100)
+    w, h = wh(gens[0].base_anchors)
+    aspect = w / h
+    size = np.sqrt(w * h)
+    # anchor 0: min square; anchor 1: geomean square
+    np.testing.assert_allclose(aspect[0], 1.0, atol=0.1)
+    np.testing.assert_allclose(size[0], 21, atol=1.0)
+    np.testing.assert_allclose(aspect[1], 1.0, atol=0.1)
+    np.testing.assert_allclose(size[1], np.sqrt(21 * 45), atol=1.5)
+    # anchors 2, 3: min-size at aspect 2 and 1/2 (torch w/h = 1/ratio)
+    got = sorted(round(float(a), 1) for a in aspect[2:])
+    assert got[0] < 0.6 and got[1] > 1.8, got
+    np.testing.assert_allclose(size[2:], 21, atol=1.5)
+
+    # level 1 (ratios [2,3]): aspects must include ~1/3 and ~3
+    w, h = wh(gens[1].base_anchors)
+    aspect = sorted(float(a) for a in (w / h))
+    assert aspect[0] < 0.4 and aspect[-1] > 2.5, aspect

@@ -276,3 +276,31 @@ def test_maxdet_prefix_slicing_matches_full_rematch():
             ev2.eval["precision"][:, :, :, :, mi],
             atol=1e-12,
         )
+
+
+def test_patch_merge_spans_rank_shards():
+    """Patches of one volume evaluated on different ranks must be
+    NMS-merged TOGETHER: merging per-shard then concatenating keeps
+    cross-seam duplicates that the full merge removes (the ordering
+    evaluate_dataset now uses: gather raw entries, then merge)."""
+    from mrcnn3d.eval.results import det_entries, merge_patch_detections
+
+    # the same physical detection seen from two overlapping patches of
+    # volume 7, one per "rank"
+    dets = [np.array([[10, 10, 20, 20, 2, 6, 0.9]], np.float32)]
+    info_a = dict(id=101, full_volume_id=7, pos_top=0, pos_left=0,
+                  pos_front=0)
+    dets_b = [np.array([[2, 2, 12, 12, 2, 6, 0.8]], np.float32)]
+    info_b = dict(id=102, full_volume_id=7, pos_top=8, pos_left=8,
+                  pos_front=0)
+
+    rank0 = det_entries(dets, info_a)
+    rank1 = det_entries(dets_b, info_b)
+    # per-rank merge keeps both (each rank sees one entry)...
+    wrong = (merge_patch_detections(rank0)
+             + merge_patch_detections(rank1))
+    assert len(wrong) == 2
+    # ...the full-set merge dedups the seam duplicate
+    right = merge_patch_detections(rank0 + rank1)
+    assert len(right) == 1
+    np.testing.assert_allclose(right[0]["score"], 0.9, atol=1e-6)

@@ -106,7 +106,11 @@ def main():
     # double_test: second pass over the 1.5x dataset with test_cfg2
     # (reference tools/test.py:38-73,123-139)
     results2 = infos2 = None
-    use_double = args.double or "data2" in cfg
+    # reference cfg names the twin block `data2_2scales` and aliases it
+    # as cfg.data2 (configs/3d-multi-resolution-rcnn.py:149,204); accept
+    # either spelling
+    data2_cfg = cfg.get("data2", None) or cfg.get("data2_2scales", None)
+    use_double = args.double or data2_cfg is not None
     scale2 = 1.0 / cfg.get("upscale_factor", 1.5)
     if use_double:
         import copy
@@ -119,7 +123,11 @@ def main():
             )
             te2 = te
         else:
-            te2 = cfg.data2["test"]
+            if data2_cfg is None:
+                raise SystemExit(
+                    "--double needs a data2/data2_2scales config block"
+                )
+            te2 = data2_cfg["test"]
             ann2, img_dir2 = te2["ann_file"], te2["img_prefix"]
         dataset2 = ds_cls(
             ann2,
