@@ -196,6 +196,17 @@ class Prefetcher:
                     fut = pending.popleft()
                     batch.append(decode(fut.result()))
                     refill()
+                    if len(batch) == self.batch_size:
+                        b = collate(batch)
+                        if self.device_put:
+                            b = jax.tree.map(
+                                lambda x: jax.device_put(x)
+                                if isinstance(x, np.ndarray)
+                                else x,
+                                b,
+                            )
+                        self.q.put(b)
+                        batch = []
             finally:
                 # decode-and-discard any in-flight results so their
                 # shared-memory segments are unlinked (process mode);
@@ -205,17 +216,6 @@ class Prefetcher:
                         decode(fut.result(timeout=5))
                     except Exception:
                         pass
-                if len(batch) == self.batch_size:
-                    b = collate(batch)
-                    if self.device_put:
-                        b = jax.tree.map(
-                            lambda x: jax.device_put(x)
-                            if isinstance(x, np.ndarray)
-                            else x,
-                            b,
-                        )
-                    self.q.put(b)
-                    batch = []
 
     def __iter__(self):
         while True:
