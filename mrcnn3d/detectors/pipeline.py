@@ -961,13 +961,23 @@ def simple_test(
         b = imgs.shape[0]
         img_shape = (imgs.shape[2], imgs.shape[3], 3, imgs.shape[1])
         feats = apply(imgs, method=model.extract_feat)
-        rpn_outs = apply(feats, s, method=model.rpn)
-        cls_outs = [o[0] for o in rpn_outs]
-        reg_outs = [o[1] for o in rpn_outs]
-        pboxes, pscores, pvalid = gen_proposals(
-            cls_outs, reg_outs, anchor_sets[s], img_shape, test_cfg["rpn"],
-            means=rpn_means, stds=rpn_stds,
-        )
+        if ("proposals" + sfx) in batch:
+            # precomputed proposals (reference pp/pp_2,
+            # coco_3d_2scales.py:317-324 + proposals= path): padded
+            # (B, M, 6) boxes + (B, M) validity replace the RPN decode
+            pboxes = batch["proposals" + sfx]
+            pvalid = batch.get(
+                "proposals_valid" + sfx,
+                jnp.ones(pboxes.shape[:2], bool),
+            )
+        else:
+            rpn_outs = apply(feats, s, method=model.rpn)
+            cls_outs = [o[0] for o in rpn_outs]
+            reg_outs = [o[1] for o in rpn_outs]
+            pboxes, pscores, pvalid = gen_proposals(
+                cls_outs, reg_outs, anchor_sets[s], img_shape,
+                test_cfg["rpn"], means=rpn_means, stds=rpn_stds,
+            )
         rois, rvalid = flat_rois(pboxes, pvalid)
         if s == 0 and not roi_cfg["roi_layer"].get("use_pallas", False):
             packed0 = pack_feature_table(list(feats[:n_lvl]))

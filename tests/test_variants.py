@@ -341,3 +341,21 @@ def test_mask_rcnn_rgb():
     for sfx in ("_r", "_g", "_b"):
         assert out["dets" + sfx].shape == (1, 8, 7)
         assert "mask_logits" + sfx in out
+
+
+def test_precomputed_proposals():
+    """simple_test accepts precomputed proposals (reference pp/pp_2,
+    coco_3d_2scales.py:317-324) instead of running the RPN decode."""
+    cfg = _tiny_cfg("FasterRCNN3D")
+    model, variables, sets, batch = _setup(cfg)
+    props = np.zeros((1, 16, 6), np.float32)
+    props[:, 0] = [4, 4, 14, 14, 1, 5]
+    props[:, 1] = [8, 8, 20, 20, 2, 6]
+    batch["proposals"] = jnp.asarray(props)
+    batch["proposals_valid"] = jnp.asarray(
+        np.arange(16)[None, :] < 2
+    )
+    out = pl.simple_test(model, variables, batch, cfg, sets)
+    assert out["dets"].shape == (1, 8, 7)
+    # with only 2 valid proposals, at most 2 detections survive
+    assert int(np.asarray(out["valid"]).sum()) <= 2
