@@ -20,6 +20,7 @@ import numpy as np
 
 from mrcnn3d.ops.roi_align3d import (
     multi_level_roi_align_3d,
+    multi_level_roi_align_3d_chunked,
     multi_level_roi_align_3d_rowslab,
 )
 
@@ -70,9 +71,17 @@ def main():
     inputs = [make_inputs(i) for i in range(4)]
 
     for (osz, odz, tag) in [(7, 3, "bbox 7x7x3"), (14, 10, "mask 14x14x10")]:
+        # mask geometry needs the memory-bounded chunked path (the raw
+        # 2000-roi slab with 512-lane packing is ~8 GB)
+        gfn = (
+            multi_level_roi_align_3d if odz < 10
+            else multi_level_roi_align_3d_chunked
+        )
         g = jax.jit(
-            lambda f, r, v, osz=osz, odz=odz: multi_level_roi_align_3d(
-                f, r, osz, odz, STRIDES, DSTRIDES, 2, valid=v
+            lambda f, r, v, osz=osz, odz=odz, gfn=gfn: gfn(
+                f, r, osz, odz, STRIDES, DSTRIDES, 2, valid=v,
+                **({} if gfn is multi_level_roi_align_3d else
+                   {"chunk": 64})
             ).astype(jnp.float32).sum()
         )
         rs = jax.jit(

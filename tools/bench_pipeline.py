@@ -3,9 +3,12 @@
 
 Times each stage as its own jitted program at BASELINE config-1 patch
 geometry (512x512x64 @1.0x + 768x768x96 @1.5x, bf16, 2000-proposal test
-budget): backbone both scales, FPN, RPN heads, proposal generation
-(decode+NMS), bbox roi-align+head, refinement, final multiclass NMS,
-mask path.  Fresh-keyed inputs per iteration; blocking scalar fetches.
+budget).  CAVEAT (TECHNICAL_DETAILS.md "Benchmark methodology"): the
+volume-input stages regenerate inputs with in-graph threefry, which
+adds ~136 ms at the 1.5x geometry — treat extract_feat rows as upper
+bounds and prefer device-resident-input + synchronous-fetch timing
+(see tools/bench_ops.py and /tmp-style sync probes) when precision
+matters.
 
   python tools/bench_pipeline.py [--iters 6]
 """
