@@ -359,3 +359,23 @@ def test_precomputed_proposals():
     assert out["dets"].shape == (1, 8, 7)
     # with only 2 valid proposals, at most 2 detections survive
     assert int(np.asarray(out["valid"]).sum()) <= 2
+
+
+def test_htc_3d_config_builds():
+    """The shipped configs/htc_3d.py translates into an HTC model."""
+    cfg = Config.fromfile("configs/htc_3d.py")
+    model = build_detector(cfg)
+    assert model.htc and model.with_semantic and model.with_mask
+    assert model.cascade_stages == 3
+    assert len(cfg.train_cfg["rcnn"]) == 3
+    # per-stage IoU ladder
+    thrs = [st["assigner"]["pos_iou_thr"] for st in cfg.train_cfg["rcnn"]]
+    assert thrs == [0.3, 0.4, 0.5]
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 32, 32, 3))
+    )
+    # 3 cascade bbox heads + 3 info-flow mask heads + semantic head
+    names = set(variables["params"].keys())
+    assert {"bbox_head_0", "bbox_head_1", "bbox_head_2",
+            "mask_head_0", "mask_head_1", "mask_head_2",
+            "semantic_head"} <= names

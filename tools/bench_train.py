@@ -30,6 +30,7 @@ except Exception:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=6)
+    p.add_argument("--batch", type=int, default=1)
     args = p.parse_args()
 
     from mrcnn3d.detectors import pipeline as pl
@@ -64,6 +65,8 @@ def main():
             )
         )
 
+    B = args.batch
+
     def make_batch(key):
         ks = jax.random.split(key, 4)
         batch = {}
@@ -71,20 +74,20 @@ def main():
             sfx = "" if s == 0 else "_2"
             f = 1.5 ** s
             batch["imgs" + sfx] = jax.random.normal(
-                ks[s], (1, dd, hh, ww, 3), jnp.bfloat16
+                ks[s], (B, dd, hh, ww, 3), jnp.bfloat16
             )
-            x1 = jax.random.uniform(ks[2], (1, max_gt, 1), minval=4,
+            x1 = jax.random.uniform(ks[2], (B, max_gt, 1), minval=4,
                                     maxval=hh * 0.6) * f
-            wsz = jax.random.uniform(ks[3], (1, max_gt, 1), minval=8,
+            wsz = jax.random.uniform(ks[3], (B, max_gt, 1), minval=8,
                                      maxval=hh * 0.3) * f
             batch["gt_boxes" + sfx] = jnp.concatenate(
                 [x1, x1, x1 + wsz, x1 + wsz,
                  jnp.full_like(x1, 2.0 * f), jnp.full_like(x1, 14.0 * f)],
                 axis=-1,
             )
-            batch["gt_valid" + sfx] = jnp.ones((1, max_gt), bool)
-            batch["gt_labels" + sfx] = jnp.ones((1, max_gt), jnp.int32)
-        batch["gt_masks"] = jnp.ones((1, max_gt, cd, ch, cw), jnp.uint8)
+            batch["gt_valid" + sfx] = jnp.ones((B, max_gt), bool)
+            batch["gt_labels" + sfx] = jnp.ones((B, max_gt), jnp.int32)
+        batch["gt_masks"] = jnp.ones((B, max_gt, cd, ch, cw), jnp.uint8)
         return batch
 
     def bench(name, fn, mk, iters):
