@@ -23,12 +23,22 @@ def _nearest_resize(x, size):
     floor(i * in/out); jax.image.resize('nearest') matches this for integer
     upscale factors used here (2× with possible odd-size truncation).
     """
-    b, _, _, _, c = x.shape
+    b, sd, sh, sw, c = x.shape
     d, h, w = size
+    if d % sd == 0 and h % sh == 0 and w % sw == 0:
+        # exact integer upscale: floor(i * in/out) == i // k, so nearest
+        # == k-fold repeat — a broadcast instead of three chained
+        # gathers over the full map (one memory pass, no gather)
+        fd, fh, fw = d // sd, h // sh, w // sw
+        x = jnp.broadcast_to(
+            x[:, :, None, :, None, :, None, :],
+            (b, sd, fd, sh, fh, sw, fw, c),
+        )
+        return x.reshape(b, d, h, w, c)
     # explicit gather — bit-exact torch 'nearest' semantics
-    di = (jnp.arange(d) * (x.shape[1] / d)).astype(jnp.int32)
-    hi = (jnp.arange(h) * (x.shape[2] / h)).astype(jnp.int32)
-    wi = (jnp.arange(w) * (x.shape[3] / w)).astype(jnp.int32)
+    di = (jnp.arange(d) * (sd / d)).astype(jnp.int32)
+    hi = (jnp.arange(h) * (sh / h)).astype(jnp.int32)
+    wi = (jnp.arange(w) * (sw / w)).astype(jnp.int32)
     return x[:, di][:, :, hi][:, :, :, wi]
 
 
