@@ -53,6 +53,7 @@ from ..ops.nms3d import nms_3d
 from ..ops.roi_align3d import (
     multi_level_roi_align_3d,
     multi_level_roi_align_3d_chunked,
+    multi_level_roi_align_3d_dense,
     pack_feature_table,
 )
 
@@ -660,15 +661,8 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
         rois, rvalid = flat_rois(
             samples_s[s].rois, samples_s[s].roi_valid
         )
-        roi_feats = multi_level_roi_align_3d(
-            list(feats_s[s][: len(roi_cfg["featmap_strides"])]),
-            rois,
-            roi_cfg["roi_layer"]["out_size"],
-            roi_cfg["roi_layer"]["out_size_depth"],
-            roi_cfg["featmap_strides"],
-            roi_cfg["featmap_strides_depth"],
-            roi_cfg["roi_layer"]["sample_num"],
-            valid=rvalid,
+        roi_feats = _roi_align_cfg(
+            feats_s[s], rois, roi_cfg, rvalid, dense=True
         )
         out = apply(roi_feats, s, method=model.bbox_forward)
         cls_all.append(out[0])
@@ -775,15 +769,8 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
             batch["gt_labels"],
         )
         rrois, rvalid = flat_rois(ref_samples.rois, ref_samples.roi_valid)
-        ref_feats = multi_level_roi_align_3d(
-            list(feats_s[0][: len(roi_cfg["featmap_strides"])]),
-            rrois,
-            roi_cfg["roi_layer"]["out_size"],
-            roi_cfg["roi_layer"]["out_size_depth"],
-            roi_cfg["featmap_strides"],
-            roi_cfg["featmap_strides_depth"],
-            roi_cfg["roi_layer"]["sample_num"],
-            valid=rvalid,
+        ref_feats = _roi_align_cfg(
+            feats_s[0], rrois, roi_cfg, rvalid, dense=True
         )
         ref_pred = apply(ref_feats, method=model.refinement_forward)
         labels = ref_samples.labels.reshape(-1)
@@ -830,7 +817,7 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
 
 
 def _roi_align_cfg(feats, rois, roi_cfg, valid=None, chunk=0,
-                   prepacked=None):
+                   prepacked=None, dense=False):
     fn = multi_level_roi_align_3d
     kw = {}
     if prepacked is not None:
@@ -839,6 +826,24 @@ def _roi_align_cfg(feats, rois, roi_cfg, valid=None, chunk=0,
         # within one program, so the caller builds the 8x table once
         kw["prepacked"] = prepacked
     layer = roi_cfg.get("roi_layer", {})
+    if (
+        dense
+        and layer.get("use_dense_train", True)
+        and not layer.get("use_pallas", False)
+    ):
+        # training path: dense separable MXU formulation — the
+        # corner-gather backward is a multi-million-row scatter-add that
+        # dominated the round-2 train step (PROFILE.md)
+        return multi_level_roi_align_3d_dense(
+            list(feats[: len(roi_cfg["featmap_strides"])]),
+            rois,
+            roi_cfg["roi_layer"]["out_size"],
+            roi_cfg["roi_layer"]["out_size_depth"],
+            roi_cfg["featmap_strides"],
+            roi_cfg["featmap_strides_depth"],
+            roi_cfg["roi_layer"]["sample_num"],
+            valid=valid,
+        )
     if layer.get("use_pallas", False):
         # opt-in Pallas crop kernel (window DMA + MXU interpolation);
         # config flag mirrors the roi_layer type switch upstream
@@ -1062,7 +1067,15 @@ def simple_test(
         # mask heads on the 1.0x features for all surviving detections;
         # with a refinement mask head, each detection uses the head
         # matching its provenance (reference :385-434 splits dets by
-        # resolution via box equality; src_idx makes that exact here)
+        # resolution via box equality; src_idx makes that exact here).
+        #
+        # NMS emits detections score-sorted with padding last (top_k on
+        # -inf-masked scores), so under the static B*max_per_img budget
+        # every chunk past the last real detection is pure padding: the
+        # WHOLE mask stage (align + mask head(s)) runs as a lax.scan
+        # whose body lax.cond-skips all-invalid chunks.  Cost scales
+        # with real detections — the reference's dynamic-count mask pass
+        # (fcn_mask_head_3d.py:126-191) — while shapes stay static.
         mask_roi_cfg = cfg.model["mask_roi_extractor"]
         det_boxes = dets[..., :6]
         rois, rvalid = flat_rois(det_boxes, dvalid)
@@ -1071,21 +1084,73 @@ def simple_test(
             if len(mask_roi_cfg["featmap_strides"]) == n_lvl
             else None
         )
-        mfeats = _roi_align_cfg(
-            feats_s[0], rois, mask_roi_cfg, rvalid,
-            chunk=int(test_cfg.get("mask_roi_chunk", 512)),
-            prepacked=mask_pack,
+        with_ref_mask = (
+            model.with_refinement_mask and model.num_scales >= 2
         )
-        mpred = apply(mfeats, 0, method=model.mask_forward)
-        if model.with_refinement_mask and model.num_scales >= 2:
+        if with_ref_mask:
             m1 = boxes_s[0].shape[1]  # rows < m1 came from the 1.0x path
             refined = (src_idx >= m1).reshape(-1)
-            mpred_ref = apply(
-                mfeats, method=model.refinement_mask_forward
+        else:
+            refined = jnp.zeros((rois.shape[0],), bool)
+
+        def mask_stage(rois_c, rvalid_c, refined_c):
+            mf = _roi_align_cfg(
+                feats_s[0], rois_c, mask_roi_cfg, rvalid_c,
+                prepacked=mask_pack,
             )
-            mpred = jnp.where(
-                refined[:, None, None, None, None], mpred_ref, mpred
+            mp = apply(mf, 0, method=model.mask_forward)
+            if with_ref_mask:
+                mr = apply(mf, method=model.refinement_mask_forward)
+                mp = jnp.where(
+                    refined_c[:, None, None, None, None], mr, mp
+                )
+            return mp
+
+        n = rois.shape[0]
+        # chunk bounded so the live corner-gather slab stays ~1 GB
+        # (out_vox * sn^3 rows of 512 bf16 lanes per roi)
+        layer = mask_roi_cfg["roi_layer"]
+        per_roi = (
+            int(layer.get("out_size", 14)) ** 2
+            * int(layer.get("out_size_depth", 10))
+            * int(layer.get("sample_num", 2)) ** 3
+            * 512 * 2
+        )
+        chunk = int(test_cfg.get("mask_roi_chunk", 512))
+        chunk = min(max(32, min(chunk, (1 << 30) // per_roi)), n)
+        pad = (-n) % chunk
+        rois_p = jnp.concatenate(
+            [rois, jnp.zeros((pad, 7), rois.dtype)]
+        ) if pad else rois
+        rvalid_p = jnp.concatenate(
+            [rvalid, jnp.zeros((pad,), bool)]
+        ) if pad else rvalid
+        refined_p = jnp.concatenate(
+            [refined, jnp.zeros((pad,), bool)]
+        ) if pad else refined
+        k = (n + pad) // chunk
+        xs = (
+            rois_p.reshape(k, chunk, 7),
+            rvalid_p.reshape(k, chunk),
+            refined_p.reshape(k, chunk),
+        )
+        out_sds = jax.eval_shape(
+            mask_stage,
+            jax.ShapeDtypeStruct((chunk, 7), rois.dtype),
+            jax.ShapeDtypeStruct((chunk,), jnp.bool_),
+            jax.ShapeDtypeStruct((chunk,), jnp.bool_),
+        )
+
+        def body(carry, x):
+            mp = jax.lax.cond(
+                jnp.any(x[1]),
+                lambda: mask_stage(*x),
+                lambda: jnp.zeros(out_sds.shape, out_sds.dtype),
             )
+            return carry, mp
+
+        _, mpred = jax.lax.scan(body, None, xs)
+        mpred = mpred.reshape((k * chunk,) + mpred.shape[2:])[:n]
         out["mask_logits"] = mpred
     return out
 
@@ -1163,7 +1228,7 @@ def _mask_branch_loss(
     pos_labels = samples.labels[:, :pos_quota]
 
     rois, rvalid = flat_rois(pos_rois, pos_mask)
-    mfeats = _roi_align_cfg(feats, rois, mask_roi_cfg, rvalid)
+    mfeats = _roi_align_cfg(feats, rois, mask_roi_cfg, rvalid, dense=True)
     if fuse is not None:
         mfeats = mfeats + fuse(rois, rvalid)
     mpred = fwd(mfeats)
@@ -1304,7 +1369,7 @@ def cascade_forward_train(model, variables, batch, rng, cfg, anchor_sets):
             )
         )(keys, pboxes, pvalid, gtb, gtv, gtl)
         rois, rvalid = flat_rois(samples.rois, samples.roi_valid)
-        roi_feats = _roi_align_cfg(feats, rois, roi_cfg, rvalid)
+        roi_feats = _roi_align_cfg(feats, rois, roi_cfg, rvalid, dense=True)
         if sem_feat is not None and "bbox" in fusion:
             roi_feats = roi_feats + _semantic_roi_feats(
                 sem_feat, rois, rvalid, cfg,
@@ -1428,7 +1493,7 @@ def rgb_forward_train(model, variables, batch, rng, cfg, anchor_sets):
             )
         )(keys, pboxes, pvalid, gtb, gtv, gtl)
         rois, rvalid = flat_rois(samples.rois, samples.roi_valid)
-        roi_feats = _roi_align_cfg(feats, rois, roi_cfg, rvalid)
+        roi_feats = _roi_align_cfg(feats, rois, roi_cfg, rvalid, dense=True)
         out = apply(roi_feats, s, method=model.bbox_forward)
         bl = bbox_stage_loss(
             out[0], out[1], samples, num_classes,

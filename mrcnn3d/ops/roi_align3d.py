@@ -432,6 +432,148 @@ def multi_level_roi_align_3d(
     return acc.mean(axis=(2, 4, 6))
 
 
+def _axis_matrix(coords, dim, out, sn):
+    """Dense (N, out, dim) interpolation matrix for one axis.
+
+    Exact CUDA-kernel semantics (roi_align_kernel.cu:64-149
+    bilinear_interpolate_3d, same rules as `_interp_1d`): out-of-range
+    (< -1 or > dim) samples contribute 0; coords clamp to 0; low index
+    >= dim-1 collapses to the edge voxel — with the sample_num bin
+    average folded in.  coords is (N, out*sn) float32.
+    """
+    in_range = (coords >= -1.0) & (coords <= float(dim))
+    c = jnp.maximum(coords, 0.0)
+    low = jnp.floor(c).astype(jnp.int32)
+    at_edge = low >= dim - 1
+    low = jnp.where(at_edge, dim - 1, low)
+    high = jnp.where(at_edge, dim - 1, low + 1)
+    c = jnp.where(at_edge, low.astype(c.dtype), c)
+    frac = (c - low.astype(c.dtype))[..., None]
+    cols = jax.lax.broadcasted_iota(jnp.int32, coords.shape + (dim,), 2)
+    mat = (cols == low[..., None]) * (1.0 - frac) + (
+        cols == high[..., None]
+    ) * frac
+    mat = mat * in_range[..., None]
+    n = coords.shape[0]
+    return mat.reshape(n, out, sn, dim).sum(axis=2) / sn
+
+
+def multi_level_roi_align_3d_dense(
+    feats,
+    rois,
+    out_size,
+    out_size_depth,
+    featmap_strides,
+    featmap_strides_depth,
+    sample_num=2,
+    finest_scale=56,
+    valid=None,
+):
+    """FPN-level-dispatched RoIAlign as dense separable MXU contractions.
+
+    The training-path formulation.  Profiling round 2 (PROFILE.md)
+    showed the corner-gather version's backward — a multi-million-row
+    scatter-add into the packed feature table (the transpose of
+    `jnp.take`) — consuming ~60% of the whole train step, because
+    scatter is the one op shape TPUs cannot run fast.  Here the
+    trilinear interpolation (CUDA rules, in-range mask and sample-bin
+    average included — see `_axis_matrix`) is expressed per axis as a
+    dense (N, out, dim) matrix over the ENTIRE level extent and applied
+    as three einsums (z with the batch one-hot folded in, then y, then
+    x).  Forward is ~10 GFLOP per level set at crop geometry — noise on
+    the MXU — and the backward is einsum transposes: no gather, no
+    scatter, no data-formatting copies.
+
+    Level dispatch: each level contracts all rois with its own dense
+    matrices, with rois not assigned to the level (and invalid rois)
+    zeroed via the z matrix; level outputs sum.  Levels shrink 8x per
+    step so the total is ~1.5x the finest level.
+
+    Intended for training geometry (small feature maps, <=1k rois);
+    whole-volume inference keeps the corner-gather path, which has no
+    backward and wins when dim products are huge.
+
+    Semantics match `multi_level_roi_align_3d` exactly (oracle-tested).
+    feats: list of (B, D, H, W, C); rois (N, 7); valid (N,) bool/None.
+    Returns (N, out_d, out, out, C).
+    """
+    num_levels = len(feats)
+    b = feats[0].shape[0]
+    c = feats[0].shape[-1]
+    n = rois.shape[0]
+    compute_dtype = feats[0].dtype
+
+    target = map_roi_levels(rois, num_levels, finest_scale)
+    sel_all = (
+        valid if valid is not None else jnp.ones((n,), bool)
+    )
+    batch_idx = rois[:, 0].astype(jnp.int32)
+    onehot_b = (
+        batch_idx[:, None] == jnp.arange(b, dtype=jnp.int32)[None]
+    )
+
+    sn = sample_num
+    out = None
+    for lvl in range(num_levels):
+        d_l, h_l, w_l = (int(s) for s in feats[lvl].shape[1:4])
+        sc_xy = 1.0 / featmap_strides[lvl]
+        sc_d = 1.0 / featmap_strides_depth[lvl]
+
+        start_w = rois[:, 1] * sc_xy
+        start_h = rois[:, 2] * sc_xy
+        end_w = (rois[:, 3] + 1.0) * sc_xy
+        end_h = (rois[:, 4] + 1.0) * sc_xy
+        start_d = rois[:, 5] * sc_d
+        end_d = (rois[:, 6] + 1.0) * sc_d
+        roi_w = jnp.maximum(end_w - start_w, 0.0)
+        roi_h = jnp.maximum(end_h - start_h, 0.0)
+        roi_d = jnp.maximum(end_d - start_d, 0.0)
+
+        xm = _axis_matrix(
+            _axis_samples(start_w, roi_w, out_size, sn), w_l, out_size, sn
+        )
+        ym = _axis_matrix(
+            _axis_samples(start_h, roi_h, out_size, sn), h_l, out_size, sn
+        )
+        zm = _axis_matrix(
+            _axis_samples(start_d, roi_d, out_size_depth, sn),
+            d_l,
+            out_size_depth,
+            sn,
+        )
+
+        sel = (target == lvl) & sel_all
+        # fold level/validity mask + batch one-hot into z: (N, Od, B*D)
+        zmb = (
+            zm[:, :, None, :]
+            * (sel[:, None] & onehot_b)[:, None, :, None]
+        ).reshape(n, out_size_depth, b * d_l)
+
+        # Contraction structure is chosen for the MXU, not FLOP
+        # minimality: the z and y matrices join into one (N, Od*Oh,
+        # B*D*H) operand so the feature contraction is a single flat
+        # 2-D GEMM with a large K — batched small-K dots measured
+        # ~10x slower (layout-bound), and the flat GEMM also shrinks
+        # the live intermediate from N*Od*H*W*C to N*Od*Oh*W*C.
+        # Everything runs in the features' dtype (MXU accumulates f32
+        # internally); forcing f32 outputs measured +25 ms/step of
+        # convert traffic.
+        zy = (
+            zmb.astype(compute_dtype)[:, :, None, :, None]
+            * ym.astype(compute_dtype)[:, None, :, None, :]
+        )
+        q = b * d_l * h_l
+        flat = feats[lvl].reshape(q, w_l * c)
+        t = (
+            zy.reshape(n * out_size_depth * out_size, q) @ flat
+        ).reshape(n, out_size_depth, out_size, w_l, c)
+        t3 = jnp.einsum(
+            "nxw,noywc->noyxc", xm.astype(compute_dtype), t
+        )
+        out = t3 if out is None else out + t3
+    return out
+
+
 def multi_level_roi_align_3d_chunked(
     feats,
     rois,

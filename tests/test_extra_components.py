@@ -274,3 +274,47 @@ def test_resnext_2d_depth1():
     # depth stays 1 at every stage; xy strides 4/8/16/32
     assert [o.shape[1] for o in outs] == [1, 1, 1, 1]
     assert [o.shape[2] for o in outs] == [8, 4, 2, 1]
+
+
+def test_max_pool_3d_custom_vjp_matches_xla():
+    """max_pool_3d's dense backward == XLA select-and-scatter routing,
+    including ties (first maximal element in window scan order wins) —
+    the rule the reference's torch CUDA MaxPool3d backward uses."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+
+    from mrcnn3d.models.layers import max_pool_3d
+
+    rng = np.random.RandomState(40)
+    # quantized values force ties inside windows
+    x = jnp.asarray(np.round(rng.randn(2, 9, 10, 11, 4) * 2) / 2,
+                    jnp.float32)
+
+    for window, strides, padding in [
+        ((3, 3, 3), (2, 2, 2), [(1, 1), (1, 1), (1, 1)]),
+        ((1, 3, 3), (1, 2, 2), [(0, 0), (1, 1), (1, 1)]),
+        ((2, 2, 2), (2, 2, 2), "VALID"),
+        ((1, 3, 3), (1, 1, 1), [(0, 0), (1, 1), (1, 1)]),
+    ]:
+        y = max_pool_3d(x, window, strides, padding)
+        y_ref = nn.max_pool(
+            x, window_shape=window, strides=strides, padding=padding
+        )
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref))
+        g = jnp.asarray(rng.randn(*y.shape), jnp.float32)
+        gx = jax.grad(
+            lambda v: jnp.vdot(max_pool_3d(v, window, strides, padding), g)
+        )(x)
+        gx_ref = jax.grad(
+            lambda v: jnp.vdot(
+                nn.max_pool(
+                    v, window_shape=window, strides=strides, padding=padding
+                ),
+                g,
+            )
+        )(x)
+        np.testing.assert_allclose(
+            np.asarray(gx), np.asarray(gx_ref), atol=1e-5
+        )

@@ -367,3 +367,76 @@ def test_pipeline_pallas_flag(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=2e-4
     )
+
+
+def test_dense_matches_reference_dispatch():
+    """Training-path dense separable formulation == naive dispatch oracle
+    (forward), including level dispatch, batch routing, validity masking
+    and out-of-range/edge rules."""
+    from mrcnn3d.ops.roi_align3d import (
+        multi_level_roi_align_3d_dense,
+        multi_level_roi_align_3d_reference,
+    )
+
+    rng = np.random.RandomState(31)
+    feats = [
+        jnp.asarray(rng.randn(2, 16, 32, 32, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(2, 8, 16, 16, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(2, 4, 8, 8, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(2, 2, 4, 4, 8).astype(np.float32)),
+    ]
+    n = 24
+    x1 = rng.uniform(-5, 80, n)
+    y1 = rng.uniform(-5, 80, n)
+    z1 = rng.uniform(-2, 20, n)
+    rois = np.stack(
+        [
+            rng.randint(0, 2, n).astype(np.float64),
+            x1, y1,
+            x1 + rng.uniform(4, 120, n),
+            y1 + rng.uniform(4, 120, n),
+            z1,
+            z1 + rng.uniform(2, 14, n),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    valid = rng.rand(n) > 0.2
+    args = ([4, 8, 16, 32], [2, 4, 8, 16])
+    ref = multi_level_roi_align_3d_reference(
+        feats, jnp.asarray(rois), 7, 3, *args, 2, valid=jnp.asarray(valid)
+    )
+    dense = multi_level_roi_align_3d_dense(
+        feats, jnp.asarray(rois), 7, 3, *args, 2, valid=jnp.asarray(valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(dense), np.asarray(ref), atol=1e-4
+    )
+
+
+def test_dense_gradients_match_gather():
+    """Dense-path backward (einsum transposes) == corner-gather backward
+    (scatter-add): the train-step swap does not change gradients."""
+    from mrcnn3d.ops.roi_align3d import (
+        multi_level_roi_align_3d,
+        multi_level_roi_align_3d_dense,
+    )
+
+    rng = np.random.RandomState(32)
+    feats = [
+        jnp.asarray(rng.randn(1, 8, 16, 16, 4).astype(np.float32)),
+        jnp.asarray(rng.randn(1, 4, 8, 8, 4).astype(np.float32)),
+    ]
+    rois = jnp.asarray(
+        [[0, 2, 2, 30, 30, 1, 6], [0, 10, 8, 60, 52, 2, 12]], jnp.float32
+    )
+
+    def loss(fn, fs):
+        out = fn([fs[0], fs[1]], rois, 7, 3, [4, 8], [2, 4], 2)
+        return jnp.sum(out**2)
+
+    gd = jax.grad(lambda fs: loss(multi_level_roi_align_3d_dense, fs))(feats)
+    gg = jax.grad(lambda fs: loss(multi_level_roi_align_3d, fs))(feats)
+    for a, b in zip(gd, gg):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4
+        )
