@@ -1,0 +1,225 @@
+#!/usr/bin/env python
+"""Pinned learning benchmark: frozen seed + data hash + expected band.
+
+Round 2 retracted round 1's synthetic learning headline because neither
+snapshot reproduced it and the protocol wasn't versioned (VERDICT r2,
+"What's weak" #3).  This script IS the protocol now — every constant
+that affects the score is pinned here, the generated dataset is
+content-hashed, and the result artifact (LEARNING.json) records
+everything needed to compare round over round:
+
+  * synthetic data: `make_synthetic_coco3d(seed=123)` train set /
+    `seed=321` val set at 256^2 x 48, with a materialized 1.5x twin of
+    the val set for the dual-pass protocol (the same generators the
+    test suite uses; SHA-256 of annotations + volumes recorded)
+  * training: configs/mask_rcnn_3d_2scales.py, train seed 2024,
+    `--iters` iterations (default 1600) through the standard
+    train_detector loop
+  * eval: the full double_test protocol (reference tools/test.py:38-73
+    + results2json3DMulti, coco_utils.py:480-574): pass 1 on the 1.0x
+    val set, pass 2 on the 1.5x twin with test_cfg2, global 0.1-IoU
+    merge NMS, 29-stat 3-D COCO summary vs the 1.0x gt; plus a segm
+    pass (voxel IoU) from the 1.0x detections.
+
+  python tools/learning_bench.py [--iters 1600] [--workdir DIR]
+      [--skip-train]   # reuse the checkpoint already in DIR
+"""
+from __future__ import annotations
+
+import argparse
+import copy
+import glob
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+# ---- pinned protocol constants ----
+DATA_SEED_TRAIN = 123
+DATA_SEED_VAL = 321
+TRAIN_SEED = 2024
+HW, DEPTH = 256, 48
+TRAIN_VOLUMES, VAL_VOLUMES = 12, 4
+LESIONS = (3, 7)
+
+
+def sha256_paths(paths):
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        h.update(os.path.basename(p).encode())
+        with open(p, "rb") as f:
+            h.update(hashlib.sha256(f.read()).digest())
+    return h.hexdigest()
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=1600)
+    p.add_argument("--workdir", default="/tmp/mrcnn3d_learning_bench")
+    p.add_argument("--skip-train", action="store_true")
+    p.add_argument("--json-out", default=None,
+                   help="write the result artifact here (default "
+                        "<repo>/LEARNING.json)")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/mrcnn3d_jax_cache"
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 10
+        )
+    except Exception:
+        pass
+
+    from mrcnn3d.apis.test_api import run_inference
+    from mrcnn3d.apis.train_api import train_detector
+    from mrcnn3d.data.coco3d import Coco3D2ScalesDataset
+    from mrcnn3d.data.synthetic import (
+        make_synthetic_coco3d,
+        make_synthetic_coco3d_scaled,
+    )
+    from mrcnn3d.detectors.build import build_detector
+    from mrcnn3d.eval.coco_eval3d import CocoEval3D
+    from mrcnn3d.eval.masks import segm_entries
+    from mrcnn3d.eval.results import results2json3d_multi
+    from mrcnn3d.train import checkpoint as ckpt
+    from mrcnn3d.utils.config import Config
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = Config.fromfile(
+        os.path.join(here, "configs", "mask_rcnn_3d_2scales.py")
+    )
+    cfg.work_dir = args.workdir
+    os.makedirs(args.workdir, exist_ok=True)
+
+    # ---- pinned data ----
+    t0 = time.time()
+    train_root = os.path.join(args.workdir, "train_data")
+    val_root = os.path.join(args.workdir, "val_data")
+    ann_tr, dir_tr = make_synthetic_coco3d(
+        train_root, num_volumes=TRAIN_VOLUMES, hw=HW, depth=DEPTH,
+        lesions_per_volume=LESIONS, seed=DATA_SEED_TRAIN,
+    )
+    ann_va, dir_va = make_synthetic_coco3d(
+        val_root, num_volumes=VAL_VOLUMES, hw=HW, depth=DEPTH,
+        lesions_per_volume=LESIONS, seed=DATA_SEED_VAL,
+    )
+    ann_va2, dir_va2 = make_synthetic_coco3d_scaled(
+        ann_va, dir_va, val_root + "_1dot5x", cfg.get("upscale_factor", 1.5)
+    )
+    data_hash = sha256_paths(
+        [ann_tr, ann_va]
+        + glob.glob(os.path.join(dir_tr, "*.npy"))
+        + glob.glob(os.path.join(dir_va, "*.npy"))
+    )
+    print(f"data ready in {time.time()-t0:.1f}s  sha256={data_hash[:16]}…")
+
+    max_gt = cfg.get("static_shapes", {}).get("max_gt", 16)
+    tr = cfg.data["train"]
+    dataset = Coco3D2ScalesDataset(
+        ann_tr,
+        dir_tr,
+        upscale_factor=cfg.get("upscale_factor", 1.5),
+        img_norm_cfg=tr["img_norm_cfg"],
+        size_divisor=tr.get("size_divisor", 32),
+        with_mask=True,
+        max_gt=max_gt,
+        extra_aug=tr.get("extra_aug"),
+        seed=TRAIN_SEED,
+    )
+
+    # ---- train ----
+    t0 = time.time()
+    if not args.skip_train:
+        train_detector(
+            cfg, dataset, work_dir=args.workdir, seed=TRAIN_SEED,
+            max_iters=args.iters, mesh=None, log_interval=100,
+        )
+    train_s = time.time() - t0
+
+    model = build_detector(cfg)
+    manager = ckpt.make_manager(args.workdir)
+    restored = ckpt.restore_params(manager)
+    assert restored is not None, "no checkpoint after training"
+    variables = {"params": restored["params"]}
+    if restored["batch_stats"]:
+        variables["batch_stats"] = restored["batch_stats"]
+    step = int(restored["step"])
+    print(f"eval at step {step} (train {train_s:.0f}s)")
+
+    # ---- dual-pass eval (double_test protocol) + segm ----
+    scfg = copy.deepcopy(cfg)
+    scfg.test_cfg["return_bbox_only"] = False  # mask path for segm
+    te = cfg.data["test"]
+    mk = dict(
+        img_norm_cfg=te["img_norm_cfg"],
+        size_divisor=te.get("size_divisor", 32),
+        with_mask=False,
+        test_mode=True,
+    )
+    ds1 = Coco3D2ScalesDataset(ann_va, dir_va, **mk)
+    ds2 = Coco3D2ScalesDataset(ann_va2, dir_va2, **mk)
+    out1 = run_inference(scfg, model, variables, ds1)
+    results1, infos1 = out1[0], out1[1]
+    segms = out1[2] if len(out1) > 2 else None
+    cfg2 = copy.deepcopy(cfg)
+    cfg2["test_cfg"] = cfg2.get("test_cfg2", cfg2["test_cfg"])
+    results2, infos2 = run_inference(cfg2, model, variables, ds2)[:2]
+
+    scale2 = 1.0 / cfg.get("upscale_factor", 1.5)
+    entries = results2json3d_multi(
+        results1, infos1, results2, infos2, scale2=scale2
+    )
+    stats = CocoEval3D(ds1.coco, entries).named_stats()
+    seg_stats = {}
+    if segms is not None:
+        sentries = []
+        for cls_segms, per_class, info in zip(segms, results1, infos1):
+            sentries.extend(segm_entries(cls_segms, per_class, info))
+        seg_stats = CocoEval3D(
+            ds1.coco, sentries, iou_type="segm"
+        ).named_stats(prefix="segm")
+
+    rec = dict(
+        protocol=dict(
+            data_seed_train=DATA_SEED_TRAIN,
+            data_seed_val=DATA_SEED_VAL,
+            train_seed=TRAIN_SEED,
+            hw=HW, depth=DEPTH,
+            train_volumes=TRAIN_VOLUMES, val_volumes=VAL_VOLUMES,
+            lesions=list(LESIONS),
+            iters=args.iters,
+            config="configs/mask_rcnn_3d_2scales.py",
+            eval="double_test + segm (29-stat 3-D COCO)",
+        ),
+        data_sha256=data_hash,
+        step=step,
+        train_seconds=round(train_s, 1),
+        stats={k: round(float(v), 4) for k, v in stats.items()},
+        segm_stats={k: round(float(v), 4) for k, v in seg_stats.items()},
+    )
+    out_path = args.json_out or os.path.join(here, "LEARNING.json")
+    json.dump(rec, open(out_path, "w"), indent=1)
+    print(json.dumps(
+        {k: rec["stats"].get(k) for k in
+         ("bbox_mAP", "bbox_mAP_0.5", "bbox_AR_100")}
+    ))
+    if seg_stats:
+        print(json.dumps(
+            {k: rec["segm_stats"].get(k) for k in
+             ("segm_mAP", "segm_mAP_0.5")}
+        ))
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
