@@ -90,7 +90,7 @@ def collate(samples):
     """Stack a list of same-shape sample dicts into batch arrays."""
     out = {}
     for k in samples[0]:
-        if k in ("img_info", "ori_shape", "ori_shape_2"):
+        if k in ("img_info", "ori_shape", "ori_shape_2", "ori_shape_3"):
             out[k] = [s[k] for s in samples]
         else:
             out[k] = np.stack([s[k] for s in samples])

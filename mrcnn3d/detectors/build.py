@@ -56,7 +56,7 @@ _TYPES = {
     "MaskRCNN3D3ScalesHeads": dict(num_scales=3, share_heads=False),
     "MaskRCNN3D3ScalesOnePathway": dict(num_scales=3, share_heads=True),
     "MaskRCNN3D2ScalesOnePathwayOneRPN": dict(
-        num_scales=2, share_heads=True, with_refinement=True
+        num_scales=2, share_heads=True, with_refinement=True, one_rpn=True
     ),
 }
 
@@ -148,4 +148,12 @@ def anchor_cfgs(cfg):
     for key in ("rpn_head_2", "rpn_head_3"):
         if key in cfg.model:
             out.append(cfg.model[key])
+    # pad to the detector's scale count with the last given cfg: the
+    # one-RPN variant configures a single rpn_head that runs on every
+    # pathway (reference two_stage_3d_onepathway_onerpn.py:142-143);
+    # the RGB family is one image, not multi-scale inputs
+    t = _TYPES.get(cfg.model.get("type"), {})
+    if not t.get("rgb"):
+        while len(out) < t.get("num_scales", 1):
+            out.append(out[-1])
     return out

@@ -52,6 +52,9 @@ class Detector3D(nn.Module):
     num_anchors: int = 1
     num_scales: int = 1
     share_heads: bool = True  # one bbox/mask head across scales
+    one_rpn: bool = False  # one RPN head across scales (reference
+    # two_stage_3d_onepathway_onerpn.py:142-143: the same rpn_head runs
+    # on both pathways' features)
     with_bbox: bool = True
     with_mask: bool = True
     with_refinement: bool = False
@@ -143,7 +146,7 @@ class Detector3D(nn.Module):
                     dtype=self.dtype,
                     name=f"rpn_head_{s}",
                 )
-                for s in range(self.num_scales)
+                for s in range(1 if self.one_rpn else self.num_scales)
             ]
         if self.with_bbox:
             if self.cascade_stages > 0:
@@ -225,7 +228,7 @@ class Detector3D(nn.Module):
     def rpn(self, feats, scale: int = 0):
         if self.ssd:
             return self.ssd_head(feats)
-        head = self.rpn_heads[scale]
+        head = self.rpn_heads[0 if self.one_rpn else scale]
         return tuple(head(f) for f in feats)
 
     def bbox_forward(self, roi_feats, scale: int = 0):

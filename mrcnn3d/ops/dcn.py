@@ -176,3 +176,278 @@ class DeformConv2dPack(nn.Module):
             dilation=self.dilation, mask=mask,
         )
         return out[:, None] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# Deformable RoI pooling (reference mmdet/ops/dcn/src/deform_pool_cuda.cpp
+# + deform_pool_cuda_kernel.cu DeformablePSROIPoolForwardKernel, wrappers
+# modules/deform_pool.py) — the pooling half of the DCN package.
+# ---------------------------------------------------------------------------
+
+
+def deform_roi_pool(
+    feats,
+    rois,
+    offsets=None,
+    spatial_scale=1.0,
+    out_size=7,
+    sample_per_part=4,
+    trans_std=0.0,
+    group_size=1,
+    part_size=None,
+):
+    """Deformable (PS-)RoI pooling, channel-last.
+
+    feats: (B, H, W, C_in) with C_in = out_channels * group_size**2;
+    rois: (N, 5) [batch_idx, x1, y1, x2, y2]; offsets: (N, 2, part, part)
+    normalized bin shifts (dx plane 0, dy plane 1) or None (no_trans).
+    Returns (N, out_size, out_size, out_channels).
+
+    Kernel semantics preserved: rounded roi corners shifted by -0.5,
+    minimum 0.1 extent, per-bin offset scaled by trans_std * roi extent,
+    sample_per_part**2 bilinear samples per bin, samples outside
+    (-0.5, size-0.5) dropped from the average, in-range samples clamped
+    to the border, position-sensitive channel groups.
+    """
+    b, h, w, c_in = feats.shape
+    n = rois.shape[0]
+    gs = int(group_size)
+    out_channels = c_in // (gs * gs)
+    part = int(part_size) if part_size is not None else int(out_size)
+    sp = int(sample_per_part)
+    os_ = int(out_size)
+
+    batch_idx = rois[:, 0].astype(jnp.int32)
+    x1 = jnp.round(rois[:, 1]) * spatial_scale - 0.5
+    y1 = jnp.round(rois[:, 2]) * spatial_scale - 0.5
+    x2 = (jnp.round(rois[:, 3]) + 1.0) * spatial_scale - 0.5
+    y2 = (jnp.round(rois[:, 4]) + 1.0) * spatial_scale - 0.5
+    roi_w = jnp.maximum(x2 - x1, 0.1)
+    roi_h = jnp.maximum(y2 - y1, 0.1)
+    bin_w = roi_w / os_
+    bin_h = roi_h / os_
+    sub_w = bin_w / sp
+    sub_h = bin_h / sp
+
+    ph = jnp.arange(os_)
+    pw = jnp.arange(os_)
+    if offsets is None:
+        tx = jnp.zeros((n, os_, os_))
+        ty = jnp.zeros((n, os_, os_))
+    else:
+        part_h = jnp.floor(ph.astype(jnp.float32) / os_ * part).astype(
+            jnp.int32
+        )
+        part_w = jnp.floor(pw.astype(jnp.float32) / os_ * part).astype(
+            jnp.int32
+        )
+        tx = offsets[:, 0][:, part_h][:, :, part_w] * trans_std
+        ty = offsets[:, 1][:, part_h][:, :, part_w] * trans_std
+
+    # bin start + offset (N, os, os)
+    wstart = (
+        pw[None, None, :] * bin_w[:, None, None]
+        + x1[:, None, None]
+        + tx * roi_w[:, None, None]
+    )
+    hstart = (
+        ph[None, :, None] * bin_h[:, None, None]
+        + y1[:, None, None]
+        + ty * roi_h[:, None, None]
+    )
+    # sample grid (N, os, os, sp, sp)
+    sx = wstart[..., None, None] + jnp.arange(sp)[None, None, None, None, :] \
+        * sub_w[:, None, None, None, None]
+    sy = hstart[..., None, None] + jnp.arange(sp)[None, None, None, :, None] \
+        * sub_h[:, None, None, None, None]
+    valid = (
+        (sx >= -0.5) & (sx <= w - 0.5) & (sy >= -0.5) & (sy <= h - 0.5)
+    )
+    sx = jnp.clip(sx, 0.0, w - 1.0)
+    sy = jnp.clip(sy, 0.0, h - 1.0)
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    x1c = jnp.ceil(sx)
+    y1c = jnp.ceil(sy)
+    fx = sx - x0
+    fy = sy - y0
+
+    # position-sensitive channel regroup: channel c of output bin
+    # (ph, pw) reads input channel (c*gs + gh)*gs + gw
+    gh = jnp.clip((ph * gs) // os_, 0, gs - 1)
+    gw = jnp.clip((pw * gs) // os_, 0, gs - 1)
+    # (os, os, out_channels) input-channel index table
+    cidx = (
+        (jnp.arange(out_channels)[None, None, :] * gs + gh[:, None, None])
+        * gs
+        + gw[None, :, None]
+    )
+
+    flat = feats.reshape(b, h * w, c_in)
+
+    def corner(yi, xi):
+        idx = (yi.astype(jnp.int32) * w + xi.astype(jnp.int32))
+        # (N, os*os*sp*sp) gather rows from each roi's batch image
+        v = flat[batch_idx[:, None], idx.reshape(n, -1)]
+        return v.reshape(n, os_, os_, sp, sp, c_in)
+
+    val = (
+        corner(y0, x0) * ((1 - fy) * (1 - fx))[..., None]
+        + corner(y1c, x0) * (fy * (1 - fx))[..., None]
+        + corner(y0, x1c) * ((1 - fy) * fx)[..., None]
+        + corner(y1c, x1c) * (fy * fx)[..., None]
+    )
+    val = val * valid[..., None]
+    count = jnp.sum(valid, axis=(3, 4))  # (N, os, os)
+    pooled = jnp.sum(val, axis=(3, 4)) / jnp.maximum(count, 1)[..., None]
+    pooled = jnp.where(count[..., None] > 0, pooled, 0.0)
+    # select the position-sensitive group per output channel
+    return jnp.take_along_axis(
+        pooled, cidx[None].repeat(n, 0), axis=-1
+    ) if gs > 1 else pooled[..., :out_channels]
+
+
+def deform_roi_pool_numpy(
+    feats,
+    rois,
+    offsets=None,
+    spatial_scale=1.0,
+    out_size=7,
+    sample_per_part=4,
+    trans_std=0.0,
+    group_size=1,
+    part_size=None,
+):
+    """Scalar oracle of DeformablePSROIPoolForwardKernel (for tests)."""
+    b, h, w, c_in = feats.shape
+    gs = int(group_size)
+    out_channels = c_in // (gs * gs)
+    part = int(part_size) if part_size is not None else int(out_size)
+    sp = int(sample_per_part)
+    os_ = int(out_size)
+    n = rois.shape[0]
+    out = np.zeros((n, os_, os_, out_channels), np.float32)
+    for i in range(n):
+        bi = int(rois[i, 0])
+        x1 = round(float(rois[i, 1])) * spatial_scale - 0.5
+        y1 = round(float(rois[i, 2])) * spatial_scale - 0.5
+        x2 = (round(float(rois[i, 3])) + 1.0) * spatial_scale - 0.5
+        y2 = (round(float(rois[i, 4])) + 1.0) * spatial_scale - 0.5
+        roi_w = max(x2 - x1, 0.1)
+        roi_h = max(y2 - y1, 0.1)
+        bin_w, bin_h = roi_w / os_, roi_h / os_
+        sub_w, sub_h = bin_w / sp, bin_h / sp
+        for phi in range(os_):
+            for pwi in range(os_):
+                if offsets is None:
+                    tx = ty = 0.0
+                else:
+                    p_h = int(np.floor(phi / os_ * part))
+                    p_w = int(np.floor(pwi / os_ * part))
+                    tx = float(offsets[i, 0, p_h, p_w]) * trans_std
+                    ty = float(offsets[i, 1, p_h, p_w]) * trans_std
+                ws = pwi * bin_w + x1 + tx * roi_w
+                hs = phi * bin_h + y1 + ty * roi_h
+                gh = min(max(phi * gs // os_, 0), gs - 1)
+                gw = min(max(pwi * gs // os_, 0), gs - 1)
+                for c in range(out_channels):
+                    cin = (c * gs + gh) * gs + gw
+                    acc, cnt = 0.0, 0
+                    for ih in range(sp):
+                        for iw in range(sp):
+                            sxx = ws + iw * sub_w
+                            syy = hs + ih * sub_h
+                            if (
+                                sxx < -0.5 or sxx > w - 0.5
+                                or syy < -0.5 or syy > h - 0.5
+                            ):
+                                continue
+                            sxx = min(max(sxx, 0.0), w - 1.0)
+                            syy = min(max(syy, 0.0), h - 1.0)
+                            xf, yf = int(np.floor(sxx)), int(np.floor(syy))
+                            xc, yc = int(np.ceil(sxx)), int(np.ceil(syy))
+                            dx, dy = sxx - xf, syy - yf
+                            v = (
+                                (1 - dx) * (1 - dy) * feats[bi, yf, xf, cin]
+                                + (1 - dx) * dy * feats[bi, yc, xf, cin]
+                                + dx * (1 - dy) * feats[bi, yf, xc, cin]
+                                + dx * dy * feats[bi, yc, xc, cin]
+                            )
+                            acc += float(v)
+                            cnt += 1
+                    out[i, phi, pwi, c] = acc / cnt if cnt else 0.0
+    return out
+
+
+class DeformRoIPoolingPack(nn.Module):
+    """Deformable RoI pooling with a learned offset branch (reference
+    modules/deform_pool.py DeformRoIPoolingPack): a no-trans pooling
+    pass feeds `num_offset_fcs` FC layers (last zero-initialised) that
+    predict per-bin offsets for the deformable pass.  `modulated=True`
+    (ModulatedDeformRoIPoolingPack) adds `num_mask_fcs` FC layers
+    producing a sigmoid per-bin mask multiplied into the output."""
+
+    out_size: int = 7
+    out_channels: int = 256
+    spatial_scale: float = 1.0 / 16
+    sample_per_part: int = 4
+    trans_std: float = 0.1
+    group_size: int = 1
+    num_offset_fcs: int = 3
+    num_mask_fcs: int = 2
+    deform_fc_channels: int = 1024
+    no_trans: bool = False
+    modulated: bool = False
+    dtype: any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, rois):
+        kw = dict(
+            spatial_scale=self.spatial_scale,
+            out_size=self.out_size,
+            sample_per_part=self.sample_per_part,
+            trans_std=self.trans_std,
+            group_size=self.group_size,
+        )
+        if self.no_trans:
+            return deform_roi_pool(feats, rois, None, **kw)
+        n = rois.shape[0]
+        x = deform_roi_pool(feats, rois, None, **kw)
+        y = x.reshape(n, -1)
+        for i in range(self.num_offset_fcs):
+            last = i == self.num_offset_fcs - 1
+            y = nn.Dense(
+                self.out_size * self.out_size * 2
+                if last
+                else self.deform_fc_channels,
+                kernel_init=nn.initializers.zeros
+                if last
+                else nn.initializers.lecun_normal(),
+                dtype=self.dtype,
+                name=f"offset_fc_{i}",
+            )(y)
+            if not last:
+                y = nn.relu(y)
+        # (N, 2, out, out): plane 0 = dx, plane 1 = dy (kernel order)
+        offsets = y.reshape(n, 2, self.out_size, self.out_size)
+        out = deform_roi_pool(feats, rois, offsets, **kw)
+        if self.modulated:
+            m = x.reshape(n, -1)
+            for i in range(self.num_mask_fcs):
+                last = i == self.num_mask_fcs - 1
+                m = nn.Dense(
+                    self.out_size * self.out_size
+                    if last
+                    else self.deform_fc_channels,
+                    kernel_init=nn.initializers.zeros
+                    if last
+                    else nn.initializers.lecun_normal(),
+                    dtype=self.dtype,
+                    name=f"mask_fc_{i}",
+                )(m)
+                m = nn.sigmoid(m) if last else nn.relu(m)
+            out = out * m.reshape(
+                n, self.out_size, self.out_size, 1
+            )
+        return out

@@ -137,3 +137,68 @@ def test_loader_process_mode_matches_thread(synth):
     for tb, pb in zip(thread_batches, proc_batches):
         for k in ("imgs", "gt_boxes", "gt_valid", "gt_labels"):
             np.testing.assert_array_equal(tb[k], pb[k])
+
+
+def test_dataset_parcel(synth, tmp_path):
+    """Coco3DParcelDataset: per-instance brain_region labels ride
+    through cropping/padding next to gt_labels (reference
+    coco_3d_parcel.py:63-107)."""
+    import json
+
+    ann_file, img_dir = synth
+    d = json.load(open(ann_file))
+    for i, a in enumerate(d["annotations"]):
+        a["brain_region"] = (i % 14) + 1
+    pann = str(tmp_path / "parcel.json")
+    json.dump(d, open(pann, "w"))
+
+    from mrcnn3d.data.coco3d import Coco3DParcelDataset
+
+    ds = Coco3DParcelDataset(
+        pann,
+        img_dir,
+        NORM,
+        max_gt=8,
+        extra_aug=dict(random_crop_3d=dict(min_ious=(0.1, 0.3, 0.5))),
+        seed=0,
+    )
+    s = ds[0]
+    assert s["gt_labels"].ndim == 1
+    assert s["gt_bregions"].shape == s["gt_labels"].shape
+    v = s["gt_valid"]
+    assert v.any()
+    # surviving instances keep their 1..14 region ids; padding is 0
+    assert (s["gt_bregions"][v] >= 1).all()
+    assert (s["gt_bregions"][~v] == 0).all()
+    # collates into the batch key forward_train consumes
+    batch = collate([s])
+    assert batch["gt_bregions"].shape == (1, 8)
+
+
+def test_dataset_3scales(synth):
+    """Coco3D3ScalesDataset: 1.0x crop + 1.5x and 2.25x synthesized
+    twins with scaled gt (reference coco_3d_3scales.py)."""
+    from mrcnn3d.data.coco3d import Coco3D3ScalesDataset
+
+    ann_file, img_dir = synth
+    ds = Coco3D3ScalesDataset(
+        ann_file,
+        img_dir,
+        NORM,
+        max_gt=8,
+        extra_aug=dict(random_crop_3d=dict(min_ious=(0.1,))),
+        seed=0,
+        upscale_factor=1.5,
+    )
+    s = ds[0]
+    assert "imgs_2" in s and "imgs_3" in s
+    # 2.25x twin: crop depth 16 -> 36; crop hw 16 -> 36 padded to divisor
+    assert s["imgs_3"].shape[0] == 36
+    assert s["imgs_3"].shape[1] >= 36
+    np.testing.assert_allclose(
+        s["gt_boxes_3"], s["gt_boxes"] * 2.25, atol=1e-5
+    )
+    np.testing.assert_array_equal(s["gt_valid_3"], s["gt_valid"])
+    t = ds.prepare_test(0)
+    assert t["imgs_3"].shape[1] >= t["imgs_2"].shape[1]
+    assert "ori_shape_3" in t

@@ -318,3 +318,209 @@ def test_max_pool_3d_custom_vjp_matches_xla():
         np.testing.assert_allclose(
             np.asarray(gx), np.asarray(gx_ref), atol=1e-5
         )
+
+
+class TestMultiClassMap:
+    """Multi-class VOC eval_map semantics (reference mean_ap.py:204-330)."""
+
+    def _two_class_fixture(self):
+        # img0: one class-1 gt matched twice (dup -> fp); img1: class-2 gt
+        dets0 = [
+            np.array(
+                [[10, 10, 20, 20, 0.9], [11, 11, 21, 21, 0.8]], np.float32
+            ),
+            np.zeros((0, 5), np.float32),
+        ]
+        dets1 = [
+            np.zeros((0, 5), np.float32),
+            np.array([[5, 5, 15, 15, 0.7]], np.float32),
+        ]
+        gts = [
+            np.array([[10, 10, 20, 20]], np.float32),
+            np.array([[5, 5, 15, 15]], np.float32),
+        ]
+        labels = [np.array([1]), np.array([2])]
+        return [dets0, dets1], gts, labels
+
+    def test_duplicate_match_is_fp(self):
+        from mrcnn3d.eval.mean_ap import eval_map
+
+        dets, gts, labels = self._two_class_fixture()
+        m, res = eval_map(dets, gts, labels, print_summary=False)
+        # class 1: tp at rank 1, fp at rank 2 -> AP = 1.0 (recall
+        # saturates before the fp); class 2 perfect
+        assert res[0]["num_dets"] == 2 and res[0]["num_gts"] == 1
+        assert abs(res[0]["ap"] - 1.0) < 1e-6
+        assert abs(m - 1.0) < 1e-6
+
+    def test_ignored_gt_neither_tp_nor_fp(self):
+        from mrcnn3d.eval.mean_ap import eval_map
+
+        dets = [[np.array([[10, 10, 20, 20, 0.9]], np.float32)]]
+        gts = [np.array([[10, 10, 20, 20], [40, 40, 50, 50]], np.float32)]
+        labels = [np.array([1, 1])]
+        ign = [np.array([1, 0], np.int32)]
+        m, res = eval_map(
+            dets, gts, labels, gt_ignore=ign, print_summary=False
+        )
+        # the only det hits the ignored gt: not a tp, not a fp; the
+        # remaining live gt is unmatched -> recall 0, AP 0
+        assert res[0]["num_gts"] == 1
+        assert res[0]["recall"][-1] == 0.0
+        assert res[0]["precision"][-1] == 0.0
+        assert m == 0.0
+
+    def test_voc07_11point_mode(self):
+        from mrcnn3d.eval.mean_ap import eval_map
+
+        dets = [[np.array([[0, 0, 10, 10, 0.9]], np.float32)],
+                [np.array([[0, 0, 10, 10, 0.8]], np.float32)]]
+        gts = [np.array([[0, 0, 10, 10]], np.float32),
+               np.array([[50, 50, 60, 60]], np.float32)]
+        labels = [np.array([1]), np.array([1])]
+        m_area, _ = eval_map(dets, gts, labels, print_summary=False)
+        m_07, _ = eval_map(
+            dets, gts, labels, dataset="voc07", print_summary=False
+        )
+        # recall caps at 0.5 with precision 1.0 then 0.5:
+        # area AP = 0.5; 11-point AP = 6/11 (thr 0..0.5 -> max prec 1)
+        assert abs(m_area - 0.5) < 1e-6
+        assert abs(m_07 - 6 / 11) < 1e-6
+
+    def test_scale_ranges_bucketing(self):
+        from mrcnn3d.eval.mean_ap import eval_map
+
+        # one small gt (11x11 -> 121), one large gt (41x41 -> 1681)
+        dets = [[np.array(
+            [[0, 0, 10, 10, 0.9], [100, 100, 140, 140, 0.8]], np.float32
+        )]]
+        gts = [np.array([[0, 0, 10, 10], [100, 100, 140, 140]], np.float32)]
+        labels = [np.array([1, 1])]
+        m, res = eval_map(
+            dets, gts, labels, scale_ranges=[(0, 20), (20, 1000)],
+            print_summary=False,
+        )
+        assert list(res[0]["num_gts"]) == [1, 1]
+        assert m == [1.0, 1.0]
+
+    def test_tpfp_imagenet_small_gt_threshold(self):
+        from mrcnn3d.eval.mean_ap import tpfp_imagenet
+
+        # 5x5 gt: thr = min(25/ (15*15), 0.5) ~ 0.111 -> a loose det
+        # with IoU ~0.2 still matches under the imagenet rule
+        gts = np.array([[10, 10, 14, 14]], np.float32)
+        dets = np.array([[8, 8, 14, 14, 0.9]], np.float32)
+        tp, fp = tpfp_imagenet(dets, gts, np.zeros(1, np.int32), 0.5)
+        assert tp[0, 0] == 1 and fp[0, 0] == 0
+
+    def test_3d_dets(self):
+        from mrcnn3d.eval.mean_ap import eval_map
+
+        dets = [[np.array([[4, 4, 14, 14, 2, 6, 0.9]], np.float32)]]
+        gts = [np.array([[4, 4, 14, 14, 2, 6]], np.float32)]
+        labels = [np.array([1])]
+        m, res = eval_map(dets, gts, labels, print_summary=False)
+        assert abs(m - 1.0) < 1e-6
+
+
+class TestDeformRoIPool:
+    """Deformable RoI pooling vs the CUDA-semantics scalar oracle
+    (reference deform_pool_cuda_kernel.cu)."""
+
+    def _data(self, seed=0, c=8):
+        rng = np.random.RandomState(seed)
+        feats = rng.randn(2, 16, 16, c).astype(np.float32)
+        rois = np.array(
+            [
+                [0, 2.2, 3.1, 11.7, 12.4],
+                [1, 0.0, 0.0, 15.0, 15.0],
+                [0, 5.0, 5.0, 6.0, 6.0],  # tiny roi
+                [1, -2.0, -2.0, 4.0, 4.0],  # partially outside
+            ],
+            np.float32,
+        )
+        return feats, rois
+
+    def test_no_trans_matches_oracle(self):
+        import jax.numpy as jnp
+        from mrcnn3d.ops.dcn import deform_roi_pool, deform_roi_pool_numpy
+
+        feats, rois = self._data()
+        want = deform_roi_pool_numpy(
+            feats, rois, None, spatial_scale=0.5, out_size=5
+        )
+        got = deform_roi_pool(
+            jnp.asarray(feats), jnp.asarray(rois), None,
+            spatial_scale=0.5, out_size=5,
+        )
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+    def test_offsets_match_oracle(self):
+        import jax.numpy as jnp
+        from mrcnn3d.ops.dcn import deform_roi_pool, deform_roi_pool_numpy
+
+        feats, rois = self._data(seed=1)
+        rng = np.random.RandomState(2)
+        offs = rng.randn(len(rois), 2, 5, 5).astype(np.float32)
+        want = deform_roi_pool_numpy(
+            feats, rois, offs, spatial_scale=0.5, out_size=5,
+            trans_std=0.2,
+        )
+        got = deform_roi_pool(
+            jnp.asarray(feats), jnp.asarray(rois), jnp.asarray(offs),
+            spatial_scale=0.5, out_size=5, trans_std=0.2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), want, atol=1e-4, rtol=1e-4
+        )
+
+    def test_position_sensitive_groups(self):
+        import jax.numpy as jnp
+        from mrcnn3d.ops.dcn import deform_roi_pool, deform_roi_pool_numpy
+
+        feats, rois = self._data(seed=3, c=8)  # gs=2: 8 = 2*2*2
+        want = deform_roi_pool_numpy(
+            feats, rois, None, spatial_scale=1.0, out_size=4,
+            group_size=2,
+        )
+        got = deform_roi_pool(
+            jnp.asarray(feats), jnp.asarray(rois), None,
+            spatial_scale=1.0, out_size=4, group_size=2,
+        )
+        assert got.shape == (4, 4, 4, 2)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+    def test_pack_module_zero_init_and_grads(self):
+        import jax
+        import jax.numpy as jnp
+        from mrcnn3d.ops.dcn import (
+            DeformRoIPoolingPack,
+            deform_roi_pool,
+        )
+
+        feats, rois = self._data(seed=4)
+        mod = DeformRoIPoolingPack(
+            out_size=5, out_channels=8, spatial_scale=0.5,
+            trans_std=0.1, modulated=True,
+        )
+        variables = mod.init(
+            jax.random.PRNGKey(0), jnp.asarray(feats), jnp.asarray(rois)
+        )
+        out = mod.apply(variables, jnp.asarray(feats), jnp.asarray(rois))
+        # zero-init offset fc -> offsets 0; zero-init mask fc ->
+        # sigmoid(0) = 0.5: starts as plain pooling * 0.5
+        base = deform_roi_pool(
+            jnp.asarray(feats), jnp.asarray(rois), None,
+            spatial_scale=0.5, out_size=5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(base) * 0.5, atol=1e-5
+        )
+        # gradients flow to the offset branch
+        g = jax.grad(
+            lambda v: jnp.sum(
+                mod.apply(v, jnp.asarray(feats), jnp.asarray(rois)) ** 2
+            )
+        )(variables)
+        leaves = jax.tree_util.tree_leaves(g["params"]["offset_fc_2"])
+        assert all(np.isfinite(np.asarray(x)).all() for x in leaves)

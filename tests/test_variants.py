@@ -19,7 +19,9 @@ def _tiny_cfg(type_name):
     cfg = Config.fromfile("configs/mask_rcnn_3d_2scales.py")
     cfg.model["type"] = type_name
     cfg.model["backbone"]["depth"] = 18
-    if type_name in ("RPN3D", "FasterRCNN3D", "MaskRCNN3D"):
+    if type_name in (
+        "RPN3D", "FasterRCNN3D", "MaskRCNN3D", "MaskRCNN3DParcel"
+    ):
         cfg.model.pop("rpn_head_2", None)
     if type_name == "MaskRCNN3D2ScalesHeadsRefinementHead":
         cfg.model.pop("mask_head", None)
@@ -379,3 +381,88 @@ def test_htc_3d_config_builds():
     assert {"bbox_head_0", "bbox_head_1", "bbox_head_2",
             "mask_head_0", "mask_head_1", "mask_head_2",
             "semantic_head"} <= names
+
+
+def test_three_scales_heads():
+    """MaskRCNN3D3ScalesHeads: three pathways, separate per-scale heads
+    (reference two_stage_3d_3scales_heads.py:189-225)."""
+    cfg = _tiny_cfg("MaskRCNN3D3ScalesHeads")
+    model, variables, sets, batch = _setup(cfg)
+    assert model.num_scales == 3 and not model.share_heads
+    # anchor_cfgs pads the missing rpn_head_3 with rpn_head_2's cfg
+    assert len(sets) == 3
+    names = set(variables["params"].keys())
+    assert {"rpn_head_0", "rpn_head_1", "rpn_head_2",
+            "bbox_head_0", "bbox_head_1", "bbox_head_2"} <= names
+    total, losses = pl.forward_train(
+        model, variables, batch, jax.random.PRNGKey(1), cfg, sets
+    )
+    keys = {k for k in losses if "loss" in k}
+    assert {
+        "loss_rpn_cls", "loss_rpn_cls_2", "loss_rpn_cls_3",
+        "loss_rpn_reg", "loss_rpn_reg_2", "loss_rpn_reg_3",
+        "loss_cls", "loss_cls_2", "loss_cls_3",
+        "loss_mask",
+    } <= keys
+    assert np.isfinite(float(total))
+    out = pl.simple_test(model, variables, batch, cfg, sets)
+    assert out["dets"].shape == (1, 8, 7)
+    assert out["labels"].shape == (1, 8)
+
+
+def test_one_pathway_one_rpn():
+    """MaskRCNN3D2ScalesOnePathwayOneRPN: a single RPN head runs on both
+    pathways' features (reference two_stage_3d_onepathway_onerpn.py:
+    142-143 applies self.rpn_head to x and x_2)."""
+    cfg = _tiny_cfg("MaskRCNN3D2ScalesOnePathwayOneRPN")
+    # reference-style config: ONE rpn_head entry; scale-2 anchors come
+    # from the same cfg on the 1.5x feature shapes
+    cfg.model.pop("rpn_head_2", None)
+    model, variables, sets, batch = _setup(cfg)
+    assert model.one_rpn and model.share_heads and model.with_refinement
+    assert len(sets) == 2
+    names = set(variables["params"].keys())
+    assert "rpn_head_0" in names and "rpn_head_1" not in names
+    total, losses = pl.forward_train(
+        model, variables, batch, jax.random.PRNGKey(1), cfg, sets
+    )
+    keys = {k for k in losses if "loss" in k}
+    assert {
+        "loss_rpn_cls", "loss_rpn_cls_2", "loss_cls",
+        "loss_refinement_reg", "loss_mask",
+    } <= keys
+    assert np.isfinite(float(total))
+    # the scale-2 RPN loss flows through the SAME head parameters
+    grads = jax.grad(
+        lambda v: pl.forward_train(
+            model, v, batch, jax.random.PRNGKey(1), cfg, sets
+        )[1]["loss_rpn_cls_2"]
+    )(variables)["params"]
+    g = jax.tree_util.tree_leaves(grads["rpn_head_0"])
+    assert any(float(jnp.abs(x).max()) > 0 for x in g)
+    out = pl.simple_test(model, variables, batch, cfg, sets)
+    assert out["dets"].shape == (1, 8, 7)
+
+
+def test_parcel_detector():
+    """MaskRCNN3DParcel: 15-way brain-region branch — train loss +
+    NMS carry of per-detection parcellation scores (reference
+    two_stage_3d_parcel.py, bbox_nms.py:108-159 multiclass_nms_3d_parcel)."""
+    cfg = _tiny_cfg("MaskRCNN3DParcel")
+    model, variables, sets, batch = _setup(cfg)
+    assert model.num_parcellations == 15 and model.num_scales == 1
+    batch["gt_bregions"] = jnp.asarray(np.array([[7, 0, 0]], np.int32))
+    total, losses = pl.forward_train(
+        model, variables, batch, jax.random.PRNGKey(1), cfg, sets
+    )
+    keys = {k for k in losses if "loss" in k}
+    assert {"loss_rpn_cls", "loss_cls", "loss_mask",
+            "loss_parcellation_cls"} <= keys
+    assert "acc_parcellation" in losses
+    assert np.isfinite(float(total))
+    assert np.isfinite(float(losses["loss_parcellation_cls"]))
+    out = pl.simple_test(model, variables, batch, cfg, sets)
+    assert out["dets"].shape == (1, 8, 7)
+    # parcellation logits ride through NMS aligned row-for-row with dets
+    assert out["parcellations"].shape == (1, 8, 15)
+    assert np.isfinite(np.asarray(out["parcellations"])).all()

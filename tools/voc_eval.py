@@ -29,28 +29,51 @@ def main():
     args = p.parse_args()
 
     from mrcnn3d.data.legacy2d import VOCDataset
-    from mrcnn3d.eval.mean_ap import eval_map_3d
+    from mrcnn3d.eval.mean_ap import eval_map
 
     norm = dict(mean=[0, 0, 0], std=[1, 1, 1], to_rgb=True)
     ds = VOCDataset(args.ann_list, args.voc_root, norm)
     with open(args.result_file, "rb") as f:
         det_results = pickle.load(f)
 
-    num_classes = len(VOCDataset.CLASSES)
-    aps = []
-    for c in range(num_classes):
-        gts, dets = [], []
-        for i in range(len(ds)):
-            ann = ds.get_ann_info(i)
-            sel = ann["labels"] == c + 1
-            b = ann["bboxes"][sel]
-            z = np.zeros((b.shape[0], 2), np.float32)
-            gts.append(np.concatenate([b, z], axis=1))
-            dets.append(np.asarray(det_results[i][c], np.float32))
-        ap, _, _ = eval_map_3d(dets, gts, iou_thr=args.iou_thr)
-        aps.append(ap)
-        print(f"{VOCDataset.CLASSES[c]:16s} AP@{args.iou_thr}: {ap:.4f}")
-    print(f"{'mAP':16s}: {float(np.mean(aps)):.4f}")
+    gt_bboxes, gt_labels, gt_ignore = [], [], None
+    for i in range(len(ds)):
+        ann = ds.get_ann_info(i)
+        bboxes, labels = ann["bboxes"], ann["labels"]
+        if ann.get("bboxes_ignore") is not None and len(
+            ann["bboxes_ignore"]
+        ):
+            # VOC 'difficult' boxes join the gt pool flagged ignored
+            # (reference tools/voc_eval.py:26-35)
+            if gt_ignore is None:
+                gt_ignore = [
+                    np.zeros(len(b), np.int32) for b in gt_bboxes
+                ]
+            ign = np.concatenate([
+                np.zeros(len(bboxes), np.int32),
+                np.ones(len(ann["bboxes_ignore"]), np.int32),
+            ])
+            bboxes = np.vstack([bboxes, ann["bboxes_ignore"]])
+            labels = np.concatenate(
+                [labels, ann.get("labels_ignore", np.ones(
+                    len(ann["bboxes_ignore"]), np.int64))]
+            )
+            gt_ignore.append(ign)
+        elif gt_ignore is not None:
+            gt_ignore.append(np.zeros(len(bboxes), np.int32))
+        gt_bboxes.append(bboxes)
+        gt_labels.append(labels)
+
+    dataset_name = "voc07" if "VOC2007" in args.ann_list else "voc"
+    eval_map(
+        det_results,
+        gt_bboxes,
+        gt_labels,
+        gt_ignore=gt_ignore,
+        iou_thr=args.iou_thr,
+        dataset=dataset_name,
+        print_summary=True,
+    )
 
 
 if __name__ == "__main__":
