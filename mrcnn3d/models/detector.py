@@ -82,6 +82,11 @@ class Detector3D(nn.Module):
     mask_roi_size: int = 14
     mask_roi_size_depth: int = 10
     remat: bool = False
+    # (Mesh, axis_name): depth-shard the backbone volume across chips
+    # (see ResNet3D.spatial_shard); set via model.clone(spatial_shard=..)
+    # by parallel/spatial.py — adds no parameters, so variables from an
+    # unsharded twin are interchangeable
+    spatial_shard: Any = None
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -118,6 +123,7 @@ class Detector3D(nn.Module):
                 base_width=self.base_width,
                 two_d=self.two_d,
                 remat=self.remat,
+                spatial_shard=self.spatial_shard,
                 dtype=self.dtype,
             )
         self.neck = FPN3D(

@@ -288,7 +288,36 @@ class ResNet3D(nn.Module):
     base_width: int = 16
     remat: bool = False
     two_d: bool = False  # depth-1 mode: (1,k,k) kernels == exact 2-D convs
+    # (Mesh, axis_name) to depth-shard the volume across chips: each
+    # stage output is constrained to P(None, axis) while its depth axis
+    # still divides the mesh axis, and explicitly replicated once it
+    # shrinks below it.  The explicit fallback matters: leaving XLA's
+    # SPMD partitioner to propagate a depth sharding onto stages with
+    # fewer depth slices than shards miscompiles strided convs (empty
+    # shards) — observed as >1e1 output error on the 8-device CPU mesh.
+    spatial_shard: Any = None
     dtype: Any = jnp.float32
+
+    def _constrain_depth(self, x, min_depth=None):
+        """Constrain x to depth-sharded iff `min_depth` (the smallest
+        depth any op consuming x will produce — i.e. x.shape[1] //
+        next-stage stride) still divides the mesh axis; else replicate
+        BEFORE the shrinking op runs."""
+        if self.spatial_shard is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh, axis = self.spatial_shard
+        n = mesh.shape[axis]
+        depth = min_depth if min_depth is not None else x.shape[1]
+        spec = (
+            P(None, axis)
+            if depth >= n and depth % n == 0 and x.shape[1] % n == 0
+            else P()
+        )
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, spec)
+        )
 
     @nn.compact
     def __call__(self, x):
@@ -323,6 +352,7 @@ class ResNet3D(nn.Module):
                 x, (1, 3, 3), (1, 2, 2), [(0, 0), (1, 1), (1, 1)]
             )
         else:
+            x = self._constrain_depth(x, min_depth=x.shape[1] // 2)
             x = max_pool_3d(
                 x, (3, 3, 3), (2, 2, 2), [(1, 1), (1, 1), (1, 1)]
             )
@@ -334,6 +364,10 @@ class ResNet3D(nn.Module):
             stride = self.strides[i]
             dilation = self.dilations[i]
             expansion = 4 if block_name == "bottleneck" else 1
+            x = self._constrain_depth(
+                x,
+                min_depth=x.shape[1] // (1 if self.two_d else stride),
+            )
             for j in range(num_blocks):
                 x = block_cls(
                     planes=planes,

@@ -28,6 +28,7 @@ def spatial_extract_feat(model, variables, mesh: Mesh, axis: str = "data"):
     """
     in_sh = NamedSharding(mesh, P(None, axis))
     out_sh = NamedSharding(mesh, P())
+    model = _with_spatial_shard(model, mesh, axis)
 
     @jax.jit
     def fn(imgs):
@@ -40,6 +41,21 @@ def spatial_extract_feat(model, variables, mesh: Mesh, axis: str = "data"):
     return fn
 
 
+def _with_spatial_shard(model, mesh, axis):
+    """Clone the model with per-stage depth-sharding annotations.
+
+    The in-model constraints (ResNet3D.spatial_shard) replicate any
+    stage whose depth no longer divides the mesh axis — letting XLA's
+    SPMD partitioner propagate a depth sharding onto stages with fewer
+    slices than shards miscompiles their strided convs (empty shards).
+    Duck-typed wrappers without .clone (tests) are returned unchanged.
+    """
+    clone = getattr(model, "clone", None)
+    if clone is None:
+        return model
+    return clone(spatial_shard=(mesh, axis))
+
+
 def sharded_simple_test(model, variables, cfg, anchor_sets, mesh,
                         axis: str = "data"):
     """Whole-volume inference with the backbone spatially sharded.
@@ -50,6 +66,7 @@ def sharded_simple_test(model, variables, cfg, anchor_sets, mesh,
     from ..detectors import pipeline as pl
 
     in_sh = NamedSharding(mesh, P(None, axis))
+    model = _with_spatial_shard(model, mesh, axis)
 
     @jax.jit
     def fn(batch):
