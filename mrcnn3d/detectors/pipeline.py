@@ -54,7 +54,10 @@ from ..ops.roi_align3d import (
     multi_level_roi_align_3d,
     multi_level_roi_align_3d_chunked,
     multi_level_roi_align_3d_dense,
+    multi_level_roi_align_3d_xfirst,
+    multi_level_roi_align_3d_xfirst_chunked,
     pack_feature_table,
+    xfirst_flat_features,
 )
 
 RPN_MEANS = (0.0,) * 6
@@ -816,8 +819,66 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
 # ---------------------------------------------------------------------------
 
 
+def _use_xfirst(feats, roi_cfg):
+    """Pick the cheaper inference align per call site: corner-gather vs
+    the x-first separable-einsum path (multi_level_roi_align_3d_xfirst).
+
+    Cost model calibrated on v5e (PROFILE.md r3):
+      * gather: ~29 ns per 512-lane packed row, out_vox*sn^3 rows/roi
+        (922 ms at 2000 rois x mask geometry on 512x512x64 features)
+      * xfirst: HBM-bound on the (out, D, H, C) finest-level t1
+        intermediate at ~200 GB/s write+read (154 ms, same workload)
+    The crossover: xfirst wins for the mask stage (out 14x14x10 =
+    1960 voxels/roi makes the gather row count huge) and loses for the
+    bbox/refinement stages (out 7x7x3 = 147) — measured +115 ms on the
+    1.5x pathway when xfirst was forced there.  Single-volume only;
+    opt out via roi_layer.use_xfirst_infer=False.
+    """
+    layer = roi_cfg.get("roi_layer", {}) if roi_cfg else {}
+    if not (
+        bool(roi_cfg)
+        and feats[0].shape[0] == 1
+        and layer.get("use_xfirst_infer", True)
+        and not layer.get("use_pallas", False)
+    ):
+        return False
+    out = int(layer.get("out_size", 7))
+    out_d = int(layer.get("out_size_depth", 3))
+    sn = int(layer.get("sample_num", 2))
+    gather_per_roi = out * out * out_d * sn**3 * 29e-9
+    d0, h0 = int(feats[0].shape[1]), int(feats[0].shape[2])
+    c = int(feats[0].shape[-1])
+    xfirst_per_roi = out * d0 * h0 * c * 4 / 2e11
+    return xfirst_per_roi < gather_per_roi
+
+
+def _xfirst_chunk(feats, roi_cfg):
+    """Roi chunk bounding the (m, out, D, H, C) finest-level
+    intermediate to ~1 GB."""
+    layer = roi_cfg["roi_layer"]
+    d0, h0 = int(feats[0].shape[1]), int(feats[0].shape[2])
+    c = int(feats[0].shape[-1])
+    bytes_ = jnp.dtype(feats[0].dtype).itemsize
+    per_roi = int(layer.get("out_size", 7)) * d0 * h0 * c * bytes_
+    return max(32, min(512, (1 << 30) // max(per_roi, 1)))
+
+
 def _roi_align_cfg(feats, rois, roi_cfg, valid=None, chunk=0,
-                   prepacked=None, dense=False):
+                   prepacked=None, dense=False, flats=None):
+    layer0 = roi_cfg.get("roi_layer", {})
+    if not dense and _use_xfirst(feats, roi_cfg):
+        return multi_level_roi_align_3d_xfirst_chunked(
+            list(feats[: len(roi_cfg["featmap_strides"])]),
+            rois,
+            layer0["out_size"],
+            layer0["out_size_depth"],
+            roi_cfg["featmap_strides"],
+            roi_cfg["featmap_strides_depth"],
+            layer0["sample_num"],
+            valid=valid,
+            chunk=_xfirst_chunk(feats, roi_cfg),
+            flats=flats,
+        )
     fn = multi_level_roi_align_3d
     kw = {}
     if prepacked is not None:
@@ -959,6 +1020,7 @@ def simple_test(
 
     feats_s, boxes_s, scores_s, valid_s, parcel_s = [], [], [], [], []
     packed0 = None  # shared packed table for every 1.0x-feature align
+    flats0 = None  # shared xfirst flat features (same role)
     n_lvl = len(roi_cfg["featmap_strides"]) if roi_cfg else 0
     for s in range(model.num_scales):
         sfx = suffixes[s]
@@ -984,11 +1046,17 @@ def simple_test(
                 test_cfg["rpn"], means=rpn_means, stds=rpn_stds,
             )
         rois, rvalid = flat_rois(pboxes, pvalid)
-        if s == 0 and not roi_cfg["roi_layer"].get("use_pallas", False):
-            packed0 = pack_feature_table(list(feats[:n_lvl]))
+        if s == 0:
+            if _use_xfirst(feats, roi_cfg):
+                # shared (W, D*C*H)-flat 1.0x features for the bbox,
+                # refinement and mask aligns of this program
+                flats0 = xfirst_flat_features(list(feats[:n_lvl]))
+            elif not roi_cfg["roi_layer"].get("use_pallas", False):
+                packed0 = pack_feature_table(list(feats[:n_lvl]))
         roi_feats = _roi_align_cfg(
             feats, rois, roi_cfg, rvalid,
             prepacked=packed0 if s == 0 else None,
+            flats=flats0 if s == 0 else None,
         )
         head_out = apply(roi_feats, s, method=model.bbox_forward)
         cls_score, bbox_pred = head_out[0], head_out[1]
@@ -1024,7 +1092,8 @@ def simple_test(
         ref_in = boxes_s[1][..., 6:12]
         rois, rvalid = flat_rois(ref_in, valid_s[1])
         roi_feats = _roi_align_cfg(
-            feats_s[0], rois, roi_cfg, rvalid, prepacked=packed0
+            feats_s[0], rois, roi_cfg, rvalid, prepacked=packed0,
+            flats=flats0,
         )
         ref_pred = apply(roi_feats, method=model.refinement_forward)
         ref_boxes = delta2bbox3d(
@@ -1079,11 +1148,21 @@ def simple_test(
         mask_roi_cfg = cfg.model["mask_roi_extractor"]
         det_boxes = dets[..., :6]
         rois, rvalid = flat_rois(det_boxes, dvalid)
-        mask_pack = (
-            packed0
-            if len(mask_roi_cfg["featmap_strides"]) == n_lvl
-            else None
-        )
+        same_lvls = len(mask_roi_cfg["featmap_strides"]) == n_lvl
+        mask_pack = packed0 if same_lvls else None
+        use_xf_mask = _use_xfirst(feats_s[0], mask_roi_cfg)
+        if use_xf_mask:
+            mask_flats = (
+                flats0
+                if same_lvls and flats0 is not None
+                else xfirst_flat_features(
+                    list(
+                        feats_s[0][
+                            : len(mask_roi_cfg["featmap_strides"])
+                        ]
+                    )
+                )
+            )
         with_ref_mask = (
             model.with_refinement_mask and model.num_scales >= 2
         )
@@ -1094,10 +1173,28 @@ def simple_test(
             refined = jnp.zeros((rois.shape[0],), bool)
 
         def mask_stage(rois_c, rvalid_c, refined_c):
-            mf = _roi_align_cfg(
-                feats_s[0], rois_c, mask_roi_cfg, rvalid_c,
-                prepacked=mask_pack,
-            )
+            if use_xf_mask:
+                layer0 = mask_roi_cfg["roi_layer"]
+                mf = multi_level_roi_align_3d_xfirst(
+                    list(
+                        feats_s[0][
+                            : len(mask_roi_cfg["featmap_strides"])
+                        ]
+                    ),
+                    rois_c,
+                    layer0["out_size"],
+                    layer0["out_size_depth"],
+                    mask_roi_cfg["featmap_strides"],
+                    mask_roi_cfg["featmap_strides_depth"],
+                    layer0["sample_num"],
+                    valid=rvalid_c,
+                    flats=mask_flats,
+                )
+            else:
+                mf = _roi_align_cfg(
+                    feats_s[0], rois_c, mask_roi_cfg, rvalid_c,
+                    prepacked=mask_pack,
+                )
             mp = apply(mf, 0, method=model.mask_forward)
             if with_ref_mask:
                 mr = apply(mf, method=model.refinement_mask_forward)
@@ -1107,17 +1204,28 @@ def simple_test(
             return mp
 
         n = rois.shape[0]
-        # chunk bounded so the live corner-gather slab stays ~1 GB
-        # (out_vox * sn^3 rows of 512 bf16 lanes per roi)
+        # chunk bounded so the live align intermediate stays ~1 GB:
+        # xfirst — the (m, out, D, H, C) finest-level tensor;
+        # gather — the corner slab (out_vox * sn^3 rows of 512 lanes)
         layer = mask_roi_cfg["roi_layer"]
-        per_roi = (
-            int(layer.get("out_size", 14)) ** 2
-            * int(layer.get("out_size_depth", 10))
-            * int(layer.get("sample_num", 2)) ** 3
-            * 512 * 2
-        )
-        chunk = int(test_cfg.get("mask_roi_chunk", 512))
-        chunk = min(max(32, min(chunk, (1 << 30) // per_roi)), n)
+        if use_xf_mask:
+            per_roi_chunk = _xfirst_chunk(feats_s[0], mask_roi_cfg)
+            chunk = min(
+                int(test_cfg.get("mask_roi_chunk", 512)),
+                per_roi_chunk,
+            )
+        else:
+            per_roi = (
+                int(layer.get("out_size", 14)) ** 2
+                * int(layer.get("out_size_depth", 10))
+                * int(layer.get("sample_num", 2)) ** 3
+                * 512 * 2
+            )
+            chunk = min(
+                int(test_cfg.get("mask_roi_chunk", 512)),
+                (1 << 30) // per_roi,
+            )
+        chunk = min(max(32, chunk), n)
         pad = (-n) % chunk
         rois_p = jnp.concatenate(
             [rois, jnp.zeros((pad, 7), rois.dtype)]

@@ -19,4 +19,31 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+
+def _cpu_cache_dir():
+    # persistent XLA compile cache, fingerprinted by host CPU flags:
+    # AOT executables compiled for a different ISA can SIGILL when
+    # loaded (same scheme as __graft_entry__._cpu_cache_dir) — suite
+    # wall time is dominated by CPU recompiles without this
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    fp = hashlib.sha1(line.encode()).hexdigest()[:12]
+                    break
+            else:
+                fp = "noflags"
+    except OSError:
+        fp = "nocpuinfo"
+    return f"/tmp/mrcnn3d_jax_cache_cpu_{fp}"
+
+
+try:
+    jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+except Exception:
+    pass
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -440,3 +440,39 @@ def test_dense_gradients_match_gather():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4
         )
+
+
+def test_xfirst_matches_gather_dispatch():
+    """Inference x-first separable path == corner-gather multi-level
+    dispatch (single-volume, mask geometry, chunk remainder)."""
+    from mrcnn3d.ops.roi_align3d import (
+        multi_level_roi_align_3d_xfirst_chunked,
+    )
+
+    rng = np.random.RandomState(21)
+    feats = [
+        jnp.asarray(rng.randn(1, 16, 32, 32, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(1, 8, 16, 16, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(1, 4, 8, 8, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(1, 2, 4, 4, 8).astype(np.float32)),
+    ]
+    n = 53  # not a multiple of chunk
+    x1 = rng.uniform(0, 100, n)
+    y1 = rng.uniform(0, 100, n)
+    z1 = rng.uniform(0, 24, n)
+    rois = jnp.asarray(
+        np.stack(
+            [np.zeros(n), x1, y1,
+             x1 + rng.uniform(4, 150, n), y1 + rng.uniform(4, 150, n),
+             z1, z1 + rng.uniform(2, 20, n)], -1,
+        ).astype(np.float32)
+    )
+    valid = jnp.asarray(rng.rand(n) > 0.2)
+    args = (14, 10, [4, 8, 16, 32], [2, 4, 8, 16], 2)
+    ref = multi_level_roi_align_3d(feats, rois, *args, valid=valid)
+    got = multi_level_roi_align_3d_xfirst_chunked(
+        feats, rois, *args, valid=valid, chunk=16
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-5
+    )

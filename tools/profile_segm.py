@@ -121,19 +121,31 @@ def main():
         multi_level_roi_align_3d_chunked, pack_feature_table)
     packed = pack_feature_table(list(feats1))
 
-    @jax.jit
-    def align_only(r, v):
+    # features/packed table are jit ARGUMENTS — closed-over hundred-MB
+    # arrays become compile-time constants and blow the remote compile
+    # payload limit (HTTP 413)
+    import functools
+
+    # packed = (table, pack_x, pack_y, pack_z): the flags are STATIC —
+    # only the table array travels as a traced argument
+    _, px, py, pz = packed
+
+    @functools.partial(jax.jit, static_argnums=(2, 3, 4))
+    def align_only(fts, table, px_, py_, pz_, r, v):
         return multi_level_roi_align_3d_chunked(
-            list(feats1), r,
+            list(fts), r,
             mask_roi_cfg["roi_layer"]["out_size"],
             mask_roi_cfg["roi_layer"]["out_size_depth"],
             mask_roi_cfg["featmap_strides"],
             mask_roi_cfg["featmap_strides_depth"],
             mask_roi_cfg["roi_layer"]["sample_num"],
-            valid=v, chunk=512, prepacked=packed,
-        )
-    dt_align = timeit(align_only, rois, valid)
-    mf = align_only(rois, valid)
+            valid=v, chunk=64, prepacked=(table, px_, py_, pz_),
+        )  # chunk matches the pipeline's ~1 GB slab budget at mask
+        # geometry (pipeline.py mask stage: (1<<30)//per_roi = 64)
+    dt_align = timeit(
+        align_only, tuple(feats1), packed[0], px, py, pz, rois, valid
+    )
+    mf = align_only(tuple(feats1), packed[0], px, py, pz, rois, valid)
     print(f"mask align 2000 rois:  {dt_align*1e3:8.1f} ms  out {mf.shape}")
 
     @jax.jit

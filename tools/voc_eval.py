@@ -64,8 +64,21 @@ def main():
         gt_bboxes.append(bboxes)
         gt_labels.append(labels)
 
+    # legacy result files may carry 7-wide (xyxyzz+score) dets with
+    # degenerate z from the depth-1 pipeline — slice to VOC's 2-D
+    # (x1,y1,x2,y2,score) so eval_map's dim inference follows the gt
+    def to_2d(d):
+        d = np.asarray(d, np.float32)
+        if d.ndim == 2 and d.shape[-1] == 7:
+            return d[:, [0, 1, 2, 3, 6]]
+        return d.reshape(-1, 5)
+
+    det_results = [
+        [to_2d(d) for d in per_img] for per_img in det_results
+    ]
+
     dataset_name = "voc07" if "VOC2007" in args.ann_list else "voc"
-    eval_map(
+    mean_ap, results = eval_map(
         det_results,
         gt_bboxes,
         gt_labels,
@@ -74,6 +87,11 @@ def main():
         dataset=dataset_name,
         print_summary=True,
     )
+    # legacy per-class lines (original tool output contract)
+    for name, r in zip(VOCDataset.CLASSES, results):
+        ap = float(np.array(r["ap"], ndmin=1)[0])
+        print(f"{name:16s} AP@{args.iou_thr}: {ap:.4f}")
+    print(f"{'mAP':16s}: {float(np.mean([mean_ap])):.4f}")
 
 
 if __name__ == "__main__":
