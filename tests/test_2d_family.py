@@ -50,6 +50,7 @@ def cfg2d():
     return cfg
 
 
+@pytest.mark.slow
 def test_faster_rcnn_2d_train_and_test(cfg2d):
     model = build_detector(cfg2d)
     assert model.two_d and not model.with_mask
@@ -133,6 +134,7 @@ def test_coco2d_dataset(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_mask_rcnn_2d_mask_path(cfg2d):
     cfg = Config.fromfile("configs/faster_rcnn_2d.py")
     cfg.model["type"] = "MaskRCNN"

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mrcnn3d.detectors import aug as tta
 from mrcnn3d.detectors import pipeline as pl
@@ -75,6 +76,7 @@ def test_merge_aug_masks_flip():
     )
 
 
+@pytest.mark.slow
 def test_aug_test_e2e_identity_plus_flip():
     cfg = Config.fromfile("configs/mask_rcnn_3d_2scales.py")
     cfg.model["type"] = "MaskRCNN3D"

@@ -56,6 +56,7 @@ NORM = dict(
 )
 
 
+@pytest.mark.slow
 def test_train_and_eval(tiny_cfg, synth_data, tmp_path):
     ann_file, img_dir = synth_data
     from mrcnn3d.apis.test_api import evaluate_dataset

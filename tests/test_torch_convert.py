@@ -487,6 +487,7 @@ def test_s2d4_stem_parity_vs_torch():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_full_detector_replay_parity():
     """FULL-detector checkpoint replay: a complete reference-shaped torch
     state dict (backbone, FPN, both RPNs, shared bbox head, refinement

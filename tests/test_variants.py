@@ -76,6 +76,7 @@ def _setup(cfg):
     return model, variables, sets, batch
 
 
+@pytest.mark.slow
 def test_two_scales_heads_refinement():
     cfg = _tiny_cfg("MaskRCNN3D2ScalesHeadsRefinementHead")
     model, variables, sets, batch = _setup(cfg)
@@ -183,6 +184,7 @@ def test_cascade_rcnn_3d():
     assert out["dets"].shape == (1, 8, 7)
 
 
+@pytest.mark.slow
 def test_htc_3d():
     """HybridTaskCascade3D: semantic branch + interleaved per-stage mask
     heads with info flow (reference mmdet/models/detectors/htc.py)."""
@@ -237,6 +239,7 @@ def test_htc_3d():
     assert np.isfinite(np.asarray(p)).all()
 
 
+@pytest.mark.slow
 def test_ssd_2d():
     """SSD300 (reference ssd_head.py + ssd_vgg.py), depth-1 volumes."""
     cfg = Config.fromfile("configs/ssd300_2d.py")
@@ -281,6 +284,7 @@ def test_ssd_2d():
     assert out["dets"].shape == (1, 16, 7)
 
 
+@pytest.mark.slow
 def test_mask_rcnn_rgb():
     """RGB 2.5-D family: shared features, per-slice head sets, per-slice
     gt with all-or-nothing slice skip (reference two_stage_rgb.py)."""
@@ -383,6 +387,7 @@ def test_htc_3d_config_builds():
             "semantic_head"} <= names
 
 
+@pytest.mark.slow
 def test_three_scales_heads():
     """MaskRCNN3D3ScalesHeads: three pathways, separate per-scale heads
     (reference two_stage_3d_3scales_heads.py:189-225)."""
@@ -410,6 +415,7 @@ def test_three_scales_heads():
     assert out["labels"].shape == (1, 8)
 
 
+@pytest.mark.slow
 def test_one_pathway_one_rpn():
     """MaskRCNN3D2ScalesOnePathwayOneRPN: a single RPN head runs on both
     pathways' features (reference two_stage_3d_onepathway_onerpn.py:
