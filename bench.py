@@ -242,6 +242,43 @@ def main():
         train_flops / train_dt / PEAK_FLOPS if train_flops else None
     )
 
+    # ---- whole-volume depth-sharded backbone+FPN forward ----
+    # BASELINE config-3 geometry (512^2 x 240 SWI whole volume): the
+    # reference must patch-tile this (a single GPU cannot hold the
+    # activations); here one chip runs the whole volume in one pass and
+    # the same program depth-shards over a jax.sharding.Mesh on multi-
+    # chip (parity-tested on the 8-device CPU mesh,
+    # tests/test_spatial_sharding.py).  On this 1-chip env the mesh is
+    # trivial; the number is the whole-volume forward throughput.
+    from mrcnn3d.parallel.mesh import make_mesh
+    from mrcnn3d.parallel.spatial import spatial_extract_feat
+
+    wv_d, wv_h, wv_w = 240, 512, 512
+    mesh1 = make_mesh(len(jax.devices()[:1]))
+    sharded_fn = spatial_extract_feat(model, variables, mesh1)
+    wv_base = jax.device_put(
+        jax.random.normal(
+            jax.random.PRNGKey(13), (1, wv_d, wv_h, wv_w, 3), jnp.bfloat16
+        )
+    )
+    jax.block_until_ready(wv_base)
+
+    @jax.jit
+    def wv_step(key, b):
+        # unique inputs per call (result-cache guard, see above)
+        eps = jax.random.normal(key, (), jnp.bfloat16) * 0.01
+        return sharded_fn(b + eps)
+
+    wv_out = wv_step(jax.random.PRNGKey(14), wv_base)
+    jax.block_until_ready(wv_out)
+    t0 = time.perf_counter()
+    for i in range(4):
+        wv_out = wv_step(
+            jax.random.fold_in(jax.random.PRNGKey(15), i), wv_base
+        )
+    jax.block_until_ready(wv_out)
+    wv_dt = (time.perf_counter() - t0) / 4
+
     # headline = bbox+segm (BASELINE.md configs 2/3).  Previous rounds'
     # BENCH value was bbox-only; compare segm-vs-segm where a prior segm
     # number exists (r02 recorded the segm step only in ROADMAP.md:
@@ -271,6 +308,8 @@ def main():
         "bbox_vols_per_s": round(value, 4),
         "train_step_s": round(train_dt, 4),
         "train_vols_per_s": round(1.0 / train_dt, 4),
+        "wholevol_fwd_s": round(wv_dt, 4),
+        "wholevol_geom": f"{wv_h}x{wv_w}x{wv_d}",
     }
     if mfu_infer is not None:
         rec["mfu_infer_bbox"] = round(mfu_infer, 4)

@@ -115,8 +115,11 @@ def results2json3d_multi(
     entries = []
     for per_class, info in zip(results1, infos1):
         entries.extend(det_entries(per_class, info))
-    for per_class, info in zip(results2, infos2):
-        entries.extend(det_entries(per_class, info, coord_scale=scale2))
+    if results2 is not None:  # None = single-pass (pass-1 only) eval
+        for per_class, info in zip(results2, infos2):
+            entries.extend(
+                det_entries(per_class, info, coord_scale=scale2)
+            )
     if merge:
         entries = merge_patch_detections(entries)
     return entries

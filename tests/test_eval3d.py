@@ -226,7 +226,9 @@ def test_segm_whole_volume_eval_is_fast(tmp_path):
     stats = ev.summarize()
     dt = time.perf_counter() - t0
     assert stats[0] > 0.99  # perfect predictions
-    assert dt < 30.0, f"segm eval took {dt:.1f}s"
+    # regression guard vs the O(volume-voxels) formulation (~minutes);
+    # bound is loose because the 1-CPU CI box runs concurrent TPU jobs
+    assert dt < 90.0, f"segm eval took {dt:.1f}s"
 
 
 def test_maxdet_prefix_slicing_matches_full_rematch():

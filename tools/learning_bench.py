@@ -49,11 +49,30 @@ LESIONS = (3, 7)
 
 
 def sha256_paths(paths):
+    """Content hash that is independent of WHERE the data was written:
+    the generator embeds absolute segmentation paths in the annotation
+    json, so json values that are paths are reduced to basenames before
+    hashing (otherwise the pinned hash would change with --workdir)."""
+
+    def canon(v):
+        if isinstance(v, str) and "/" in v:
+            return os.path.basename(v)
+        if isinstance(v, dict):
+            return {k: canon(x) for k, x in sorted(v.items())}
+        if isinstance(v, list):
+            return [canon(x) for x in v]
+        return v
+
     h = hashlib.sha256()
-    for p in sorted(paths):
+    for p in sorted(paths, key=os.path.basename):
         h.update(os.path.basename(p).encode())
-        with open(p, "rb") as f:
-            h.update(hashlib.sha256(f.read()).digest())
+        if p.endswith(".json"):
+            blob = json.dumps(
+                canon(json.load(open(p))), sort_keys=True
+            ).encode()
+        else:
+            blob = open(p, "rb").read()
+        h.update(hashlib.sha256(blob).digest())
     return h.hexdigest()
 
 
@@ -180,6 +199,12 @@ def main():
         results1, infos1, results2, infos2, scale2=scale2
     )
     stats = CocoEval3D(ds1.coco, entries).named_stats()
+    # single-pass stats (round-1 protocol: 1.0x detections only, no
+    # dual-pass merge) — kept so protocol-vs-data drift is bisectable
+    entries1 = results2json3d_multi(
+        results1, infos1, None, None, scale2=scale2
+    )
+    stats_single = CocoEval3D(ds1.coco, entries1).named_stats()
     seg_stats = {}
     if segms is not None:
         sentries = []
@@ -205,6 +230,9 @@ def main():
         step=step,
         train_seconds=round(train_s, 1),
         stats={k: round(float(v), 4) for k, v in stats.items()},
+        stats_single_pass={
+            k: round(float(v), 4) for k, v in stats_single.items()
+        },
         segm_stats={k: round(float(v), 4) for k, v in seg_stats.items()},
     )
     out_path = args.json_out or os.path.join(here, "LEARNING.json")
