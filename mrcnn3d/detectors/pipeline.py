@@ -1172,10 +1172,15 @@ def simple_test(
         else:
             refined = jnp.zeros((rois.shape[0],), bool)
 
-        def mask_stage(rois_c, rvalid_c, refined_c):
+        def align_stage(rois_c, rvalid_c):
+            # the ALIGN is what needs roi chunking (its live
+            # intermediate is GBs); its output is ~25 KB/roi, so the
+            # mask heads run ONCE on the full detection budget below —
+            # running them inside the per-chunk scan measured 223 ms vs
+            # 84 ms batched (small-batch conv launches, PROFILE.md r3)
             if use_xf_mask:
                 layer0 = mask_roi_cfg["roi_layer"]
-                mf = multi_level_roi_align_3d_xfirst(
+                return multi_level_roi_align_3d_xfirst(
                     list(
                         feats_s[0][
                             : len(mask_roi_cfg["featmap_strides"])
@@ -1190,18 +1195,10 @@ def simple_test(
                     valid=rvalid_c,
                     flats=mask_flats,
                 )
-            else:
-                mf = _roi_align_cfg(
-                    feats_s[0], rois_c, mask_roi_cfg, rvalid_c,
-                    prepacked=mask_pack,
-                )
-            mp = apply(mf, 0, method=model.mask_forward)
-            if with_ref_mask:
-                mr = apply(mf, method=model.refinement_mask_forward)
-                mp = jnp.where(
-                    refined_c[:, None, None, None, None], mr, mp
-                )
-            return mp
+            return _roi_align_cfg(
+                feats_s[0], rois_c, mask_roi_cfg, rvalid_c,
+                prepacked=mask_pack,
+            )
 
         n = rois.shape[0]
         # chunk bounded so the live align intermediate stays ~1 GB:
@@ -1233,32 +1230,37 @@ def simple_test(
         rvalid_p = jnp.concatenate(
             [rvalid, jnp.zeros((pad,), bool)]
         ) if pad else rvalid
-        refined_p = jnp.concatenate(
-            [refined, jnp.zeros((pad,), bool)]
-        ) if pad else refined
         k = (n + pad) // chunk
         xs = (
             rois_p.reshape(k, chunk, 7),
             rvalid_p.reshape(k, chunk),
-            refined_p.reshape(k, chunk),
         )
         out_sds = jax.eval_shape(
-            mask_stage,
+            align_stage,
             jax.ShapeDtypeStruct((chunk, 7), rois.dtype),
-            jax.ShapeDtypeStruct((chunk,), jnp.bool_),
             jax.ShapeDtypeStruct((chunk,), jnp.bool_),
         )
 
         def body(carry, x):
-            mp = jax.lax.cond(
+            # NMS emits detections score-sorted with padding last, so
+            # chunks past the last real detection are pure padding:
+            # cond-skip keeps the align cost scaling with REAL
+            # detections while shapes stay static
+            mf = jax.lax.cond(
                 jnp.any(x[1]),
-                lambda: mask_stage(*x),
+                lambda: align_stage(*x),
                 lambda: jnp.zeros(out_sds.shape, out_sds.dtype),
             )
-            return carry, mp
+            return carry, mf
 
-        _, mpred = jax.lax.scan(body, None, xs)
-        mpred = mpred.reshape((k * chunk,) + mpred.shape[2:])[:n]
+        _, mfeat = jax.lax.scan(body, None, xs)
+        mfeat = mfeat.reshape((k * chunk,) + mfeat.shape[2:])[:n]
+        mpred = apply(mfeat, 0, method=model.mask_forward)
+        if with_ref_mask:
+            mr = apply(mfeat, method=model.refinement_mask_forward)
+            mpred = jnp.where(
+                refined[:, None, None, None, None], mr, mpred
+            )
         out["mask_logits"] = mpred
     return out
 
