@@ -182,6 +182,10 @@ def main():
     ch, cw, cd = cfg.static_shapes["crop_size"]
     c2 = (int(ch * 1.5), int(cw * 1.5), int(cd * 1.5))
     max_gt = cfg.static_shapes["max_gt"]
+    # per-chip train batch: the reference trains at imgs_per_gpu=1; a
+    # larger per-chip batch amortises the fixed per-step work (RPN
+    # target gen, NMS, optimizer) over more volumes for higher MFU
+    tb = int(os.environ.get("MRCNN3D_BENCH_TRAIN_BATCH", "1"))
     tsets = []
     for (hh, ww, dd), ac in zip([(ch, cw, cd), c2], acs):
         x = jnp.zeros((1, dd, hh, ww, 3), jnp.bfloat16)
@@ -207,20 +211,20 @@ def main():
             sfx = "" if s == 0 else "_2"
             f = 1.5 ** s
             batch["imgs" + sfx] = jax.random.normal(
-                ks[s], (1, dd, hh, ww, 3), jnp.bfloat16
+                ks[s], (tb, dd, hh, ww, 3), jnp.bfloat16
             )
-            x1 = jax.random.uniform(ks[2], (1, max_gt, 1), minval=4,
+            x1 = jax.random.uniform(ks[2], (tb, max_gt, 1), minval=4,
                                     maxval=hh * 0.6) * f
-            wsz = jax.random.uniform(ks[3], (1, max_gt, 1), minval=8,
+            wsz = jax.random.uniform(ks[3], (tb, max_gt, 1), minval=8,
                                      maxval=hh * 0.3) * f
             batch["gt_boxes" + sfx] = jnp.concatenate(
                 [x1, x1, x1 + wsz, x1 + wsz,
                  jnp.full_like(x1, 2.0 * f), jnp.full_like(x1, 14.0 * f)],
                 axis=-1,
             )
-            batch["gt_valid" + sfx] = jnp.ones((1, max_gt), bool)
-            batch["gt_labels" + sfx] = jnp.ones((1, max_gt), jnp.int32)
-        batch["gt_masks"] = jnp.ones((1, max_gt, cd, ch, cw), jnp.uint8)
+            batch["gt_valid" + sfx] = jnp.ones((tb, max_gt), bool)
+            batch["gt_labels" + sfx] = jnp.ones((tb, max_gt), jnp.int32)
+        batch["gt_masks"] = jnp.ones((tb, max_gt, cd, ch, cw), jnp.uint8)
         return batch
 
     batch0 = make_batch(jax.random.PRNGKey(7))
@@ -307,7 +311,8 @@ def main():
         "infer_bbox_step_s": round(dt, 4),
         "bbox_vols_per_s": round(value, 4),
         "train_step_s": round(train_dt, 4),
-        "train_vols_per_s": round(1.0 / train_dt, 4),
+        "train_batch": tb,
+        "train_vols_per_s": round(tb / train_dt, 4),
         "wholevol_fwd_s": round(wv_dt, 4),
         "wholevol_geom": f"{wv_h}x{wv_w}x{wv_d}",
     }

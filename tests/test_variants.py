@@ -472,3 +472,29 @@ def test_parcel_detector():
     # parcellation logits ride through NMS aligned row-for-row with dets
     assert out["parcellations"].shape == (1, 8, 15)
     assert np.isfinite(np.asarray(out["parcellations"])).all()
+
+
+@pytest.mark.slow
+def test_batch2_train_and_test():
+    """Per-chip batch > 1 end-to-end: the whole pipeline is written with
+    a leading batch dim (vmapped sampling, flat B*N roi stages), used by
+    bench.py's MRCNN3D_BENCH_TRAIN_BATCH knob for MFU headroom."""
+    cfg = _tiny_cfg("MaskRCNN3D2Scales")
+    model, variables, sets, batch = _setup(cfg)
+    b2 = {}
+    for k, v in batch.items():
+        b2[k] = jnp.concatenate([v, v], axis=0)
+    total, losses = pl.forward_train(
+        model, variables, b2, jax.random.PRNGKey(1), cfg, sets
+    )
+    keys = {k for k in losses if "loss" in k}
+    assert {"loss_rpn_cls", "loss_rpn_cls_2", "loss_cls",
+            "loss_mask"} <= keys
+    assert np.isfinite(float(total))
+    # duplicated batch rows must produce identical per-image detections
+    out = pl.simple_test(model, variables, b2, cfg, sets)
+    assert out["dets"].shape == (2, 8, 7)
+    np.testing.assert_allclose(
+        np.asarray(out["dets"][0]), np.asarray(out["dets"][1]),
+        rtol=1e-5, atol=1e-5,
+    )
