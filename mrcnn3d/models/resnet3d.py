@@ -307,13 +307,22 @@ class ResNet3D(nn.Module):
             return x
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        mesh, axis = self.spatial_shard
+        # (mesh, depth_axis) or (mesh, depth_axis, batch_axis) — the
+        # 3-tuple form keeps the batch dim sharded over `batch_axis`
+        # (hybrid DP x depth over a 2-D mesh); the depth fallback must
+        # then replicate only the spatial axes, never undo DP
+        mesh, axis = self.spatial_shard[:2]
+        baxis = (
+            self.spatial_shard[2]
+            if len(self.spatial_shard) > 2
+            else None
+        )
         n = mesh.shape[axis]
         depth = min_depth if min_depth is not None else x.shape[1]
         spec = (
-            P(None, axis)
+            P(baxis, axis)
             if depth >= n and depth % n == 0 and x.shape[1] % n == 0
-            else P()
+            else P(baxis)
         )
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(mesh, spec)

@@ -26,6 +26,21 @@ def make_mesh(n_data: int | None = None, devices=None) -> Mesh:
     return Mesh(devs, axis_names=("data",))
 
 
+def make_mesh2(
+    n_data: int, n_depth: int, devices=None
+) -> Mesh:
+    """2-D mesh for hybrid parallelism: batch over 'data', the volume
+    depth axis over 'depth' (conv halo exchanges inserted by XLA's SPMD
+    partitioner; see parallel/spatial.py).  Lay 'depth' innermost so its
+    halo collectives ride adjacent ICI links."""
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= n_data * n_depth
+    devs = np.asarray(devices[: n_data * n_depth]).reshape(
+        n_data, n_depth
+    )
+    return Mesh(devs, axis_names=("data", "depth"))
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over 'data'."""
     return NamedSharding(mesh, P("data"))

@@ -44,9 +44,29 @@ def make_train_step(model, tx, cfg, anchor_sets, mesh=None):
     When `mesh` is given, the returned function is jitted with the batch
     sharded over the 'data' axis and state replicated; XLA inserts the
     gradient all-reduce over ICI.
+
+    A 2-D mesh with a 'depth' axis (parallel.mesh.make_mesh2) enables
+    hybrid DP x spatial: each volume's depth axis is additionally
+    sharded across 'depth' (backbone fwd+bwd run depth-sharded with
+    XLA-inserted halo exchanges; detection stages consume replicated
+    features) — per-chip activation memory drops ~Nx, allowing crops or
+    whole volumes that exceed one chip's HBM to train.
     """
+    hybrid = mesh is not None and "depth" in mesh.axis_names
+    if hybrid:
+        model = model.clone(spatial_shard=(mesh, "depth", "data"))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        img_sh = NamedSharding(mesh, P("data", "depth"))
 
     def loss_fn(params, batch_stats, batch, rng):
+        if hybrid:
+            batch = {
+                k: jax.lax.with_sharding_constraint(v, img_sh)
+                if k.startswith("imgs")
+                else v
+                for k, v in batch.items()
+            }
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats

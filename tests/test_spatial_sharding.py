@@ -159,3 +159,99 @@ def test_batched_dp_inference_matches_serial():
         np.testing.assert_array_equal(
             np.asarray(out["valid"][i]), np.asarray(ref["valid"][0])
         )
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+def test_hybrid_dp_depth_train_step_matches_unsharded():
+    """One full train step on a 2x4 (data x depth) mesh == the same step
+    unsharded: hybrid DP x spatial training (make_mesh2 + the 3-tuple
+    spatial_shard), loss and updated params compared."""
+    from mrcnn3d.detectors import pipeline as pl
+    from mrcnn3d.detectors.build import anchor_cfgs, build_detector
+    from mrcnn3d.parallel.mesh import (
+        data_sharding, make_mesh2, replicated,
+    )
+    from mrcnn3d.train.optim import make_optimizer, step_lr_schedule
+    from mrcnn3d.train.step import create_train_state, make_train_step
+    from mrcnn3d.utils.config import Config
+
+    cfg = Config.fromfile("configs/mask_rcnn_3d_2scales.py")
+    cfg.model["backbone"]["depth"] = 18
+    for k in ("nms_pre", "nms_post", "max_num"):
+        cfg.train_cfg["rpn_proposal"][k] = 16
+    cfg.train_cfg["rcnn"]["sampler"]["num"] = 8
+    cfg.train_cfg["rpn"]["sampler"]["num"] = 32
+
+    model = build_detector(cfg)
+    b, g = 2, 2
+    d, h, w = 16, 32, 32
+    d2, h2, w2 = 24, 48, 48
+    rng = np.random.RandomState(0)
+    batch = dict(
+        imgs=jnp.asarray(rng.randn(b, d, h, w, 3), jnp.float32),
+        imgs_2=jnp.asarray(rng.randn(b, d2, h2, w2, 3), jnp.float32),
+    )
+    gtb = np.zeros((b, g, 6), np.float32)
+    gtb[:, 0] = [4, 4, 14, 14, 1, 5]
+    gtv = np.zeros((b, g), bool)
+    gtv[:, 0] = True
+    gtl = np.zeros((b, g), np.int32)
+    gtl[:, 0] = 1
+    gtm = np.zeros((b, g, d, h, w), np.uint8)
+    gtm[:, 0, 1:6, 4:15, 4:15] = 1
+    batch.update(
+        gt_boxes=jnp.asarray(gtb), gt_valid=jnp.asarray(gtv),
+        gt_labels=jnp.asarray(gtl), gt_masks=jnp.asarray(gtm),
+        gt_boxes_2=jnp.asarray(gtb * 1.5), gt_valid_2=jnp.asarray(gtv),
+        gt_labels_2=jnp.asarray(gtl),
+    )
+
+    sched = step_lr_schedule(1e-3, [], 100)
+    tx = make_optimizer(
+        cfg.optimizer, cfg.optimizer_config["grad_clip"], sched
+    )
+    state0 = create_train_state(
+        model, jax.random.PRNGKey(0), batch["imgs"][:1, :8, :16, :16], tx
+    )
+    acfgs = anchor_cfgs(cfg)
+    variables = {"params": state0.params,
+                 "batch_stats": state0.batch_stats}
+    asets = []
+    for i, (dd, hh, ww) in enumerate(((d, h, w), (d2, h2, w2))):
+        feats = jax.eval_shape(
+            lambda v: model.apply(
+                variables, v, method=model.extract_feat
+            ),
+            batch["imgs" if i == 0 else "imgs_2"],
+        )
+        asets.append(
+            pl.build_anchor_set(
+                [f.shape[1:4] for f in feats], (hh, ww, 3, dd), acfgs[i]
+            )
+        )
+
+    # train_step donates its state arg — keep a host copy for the
+    # hybrid twin before the first (donating) call consumes state0
+    state_host = jax.tree.map(np.asarray, state0)
+    step_ref = make_train_step(model, tx, cfg, asets)
+    sref, mref = step_ref(state0, batch, jax.random.PRNGKey(1))
+
+    mesh = make_mesh2(2, 4)
+    rep, ds = replicated(mesh), data_sharding(mesh)
+    state_h = jax.tree.map(lambda x: jax.device_put(x, rep), state_host)
+    batch_h = jax.tree.map(lambda x: jax.device_put(x, ds), batch)
+    step_h = make_train_step(model, tx, cfg, asets, mesh=mesh)
+    sh, mh = step_h(state_h, batch_h, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(
+        float(mh["loss"]), float(mref["loss"]), rtol=2e-4, atol=2e-4
+    )
+    flat_r = jax.tree_util.tree_leaves(sref.params)
+    flat_h = jax.tree_util.tree_leaves(sh.params)
+    for a, b_ in zip(flat_r[:8], flat_h[:8]):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=5e-3, atol=2e-4
+        )
