@@ -18,18 +18,24 @@ import os as _os
 
 if _os.environ.get("MRCNN3D_NO_COMPILE_CACHE") != "1":
     # XLA compiles of the whole-volume graphs are expensive (minutes via
-    # the remote compile service); persist them across processes.
+    # the remote compile service); persist them across processes.  Only
+    # a DEFAULT: callers that already configured a cache dir (the test
+    # conftest and the multichip dryrun use per-CPU-fingerprint dirs so
+    # CPU AOT executables never mix with TPU entries — loading an AOT
+    # result compiled for another ISA can SIGILL) must not be overridden
+    # by this import.
     try:
         import jax as _jax
 
-        _jax.config.update(
-            "jax_compilation_cache_dir",
-            _os.environ.get(
-                "MRCNN3D_COMPILE_CACHE", "/tmp/mrcnn3d_jax_cache"
-            ),
-        )
-        _jax.config.update(
-            "jax_persistent_cache_min_compile_time_secs", 10
-        )
+        if _jax.config.jax_compilation_cache_dir is None:
+            _jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.environ.get(
+                    "MRCNN3D_COMPILE_CACHE", "/tmp/mrcnn3d_jax_cache"
+                ),
+            )
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 10
+            )
     except Exception:
         pass

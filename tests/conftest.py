@@ -42,7 +42,7 @@ def _cpu_cache_dir():
 
 try:
     jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 except Exception:
     pass
 
