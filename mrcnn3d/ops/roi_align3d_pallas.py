@@ -52,7 +52,7 @@ def _interp_matrix(coords, dim, size):
 
 
 def _roi_align_kernel(
-    starts_ref,  # scalar-prefetch (N, 4) int32 [b, z0, y0, x0]
+    starts_ref,  # scalar-prefetch (N, 5) int32 [b, z0, y0, x0, active]
     feats_ref,  # ANY (B, D, H, W, C)
     tile_ref,  # (1, 8, 128) f32: rows 0-2 coords (z,y,x), 3-5 masks
     out_ref,  # (1, Sd, Sh, Sw, C)
@@ -68,50 +68,58 @@ def _roi_align_kernel(
     x0 = pl.multiple_of(starts_ref[i, 3], 8)
     maxd, maxh, maxw, c = window.shape
 
-    cp = pltpu.make_async_copy(
-        feats_ref.at[
-            b,
-            pl.ds(z0, maxd),
-            pl.ds(y0, maxh),
-            pl.ds(x0, maxw),
-            :,
-        ],
-        window,
-        sem,
-    )
-    cp.start()
-    cp.wait()
+    # per-roi skip: rois assigned to another FPN level (or padding rois)
+    # pay neither the window DMA nor the interpolation — the caller
+    # masks the untouched output block away.  This is what makes the
+    # multi-level dispatch one-window-per-roi instead of num_levels
+    # windows per roi.
+    @pl.when(starts_ref[i, 4] != 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            feats_ref.at[
+                b,
+                pl.ds(z0, maxd),
+                pl.ds(y0, maxh),
+                pl.ds(x0, maxw),
+                :,
+            ],
+            window,
+            sem,
+        )
+        cp.start()
+        cp.wait()
 
-    sd = out_ref.shape[1]
-    sh = out_ref.shape[2]
-    sw = out_ref.shape[3]
-    zmat = _interp_matrix(tile_ref[0, 0, :sd], maxd, maxd)
-    ymat = _interp_matrix(tile_ref[0, 1, :sh], maxh, maxh)
-    xmat = _interp_matrix(tile_ref[0, 2, :sw], maxw, maxw)
-    zmat = zmat * tile_ref[0, 3, :sd][:, None]
-    ymat = ymat * tile_ref[0, 4, :sh][:, None]
-    xmat = xmat * tile_ref[0, 5, :sw][:, None]
+        sd = out_ref.shape[1]
+        sh = out_ref.shape[2]
+        sw = out_ref.shape[3]
+        zmat = _interp_matrix(tile_ref[0, 0, :sd], maxd, maxd)
+        ymat = _interp_matrix(tile_ref[0, 1, :sh], maxh, maxh)
+        xmat = _interp_matrix(tile_ref[0, 2, :sw], maxw, maxw)
+        zmat = zmat * tile_ref[0, 3, :sd][:, None]
+        ymat = ymat * tile_ref[0, 4, :sh][:, None]
+        xmat = xmat * tile_ref[0, 5, :sw][:, None]
 
-    # separable contractions as unrolled weighted sums: Mosaic cannot
-    # shape-cast multi-dim vectors into matmul operands, and the per-roi
-    # tensors are small enough that the VPU handles this comfortably.
-    # Contract the widest axis (W) first to minimise the peak VMEM
-    # footprint of the intermediates; the window stays bf16 and upcasts
-    # slice-by-slice (a full f32 copy would blow the VMEM budget).
-    w = window[...]
-    c_dim = w.shape[3]
-    t1 = jnp.zeros(w.shape[:2] + (sw, c_dim), jnp.float32)
-    for wx in range(maxw):
-        t1 = t1 + xmat[:, wx][None, None, :, None] * w[:, :, wx][
-            :, :, None
-        ].astype(jnp.float32)
-    t2 = jnp.zeros((w.shape[0], sh, sw, c_dim), jnp.float32)
-    for hy in range(maxh):
-        t2 = t2 + ymat[:, hy][None, :, None, None] * t1[:, hy][:, None]
-    t3 = jnp.zeros((sd, sh, sw, c_dim), jnp.float32)
-    for dz in range(maxd):
-        t3 = t3 + zmat[:, dz][:, None, None, None] * t2[dz][None]
-    out_ref[0] = t3.astype(out_ref.dtype)
+        # separable contractions as unrolled weighted sums: Mosaic
+        # cannot shape-cast multi-dim vectors into matmul operands, and
+        # the per-roi tensors are small enough that the VPU handles
+        # this comfortably.  Contract the widest axis (W) first to
+        # minimise the peak VMEM footprint of the intermediates; the
+        # window stays bf16 and upcasts slice-by-slice (a full f32 copy
+        # would blow the VMEM budget).
+        w = window[...]
+        c_dim = w.shape[3]
+        t1 = jnp.zeros(w.shape[:2] + (sw, c_dim), jnp.float32)
+        for wx in range(maxw):
+            t1 = t1 + xmat[:, wx][None, None, :, None] * w[:, :, wx][
+                :, :, None
+            ].astype(jnp.float32)
+        t2 = jnp.zeros((w.shape[0], sh, sw, c_dim), jnp.float32)
+        for hy in range(maxh):
+            t2 = t2 + ymat[:, hy][None, :, None, None] * t1[:, hy][:, None]
+        t3 = jnp.zeros((sd, sh, sw, c_dim), jnp.float32)
+        for dz in range(maxd):
+            t3 = t3 + zmat[:, dz][:, None, None, None] * t2[dz][None]
+        out_ref[0] = t3.astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -138,16 +146,24 @@ def roi_align_3d_pallas(
     max_d=16,
     max_hw=32,
     interpret=False,
+    active=None,
 ):
     """Crop-based RoIAlign3D. Same signature/result as `roi_align_3d`
     (plus the static window bounds); result is averaged over sample bins.
+
+    active: optional (N,) bool — rois with active=False are skipped
+    entirely (no DMA, no compute) and their output rows are UNDEFINED;
+    the caller must mask them (the multi-level dispatch does).
+    Window bounds clamp to the level extent — when an axis's window
+    covers the whole axis the edge clamp equals the global CUDA clamp,
+    so small pyramid levels are handled exactly.
     """
     bsz, d, h, w, c = features.shape
     n = rois.shape[0]
     sn = sample_num
-    assert d >= max_d and h >= max_hw and w >= max_hw, (
-        "window must fit inside the feature level; size it per level"
-    )
+    max_d = min(max_d, d)
+    max_h = min(max_hw, h)
+    max_w = min(max_hw, w)
     c_orig = c
     if c % 128:
         # HBM slices must be lane-aligned (128); pad channels
@@ -189,12 +205,17 @@ def roi_align_3d_pallas(
         )
         return rel.astype(jnp.float32), in_range, w0
 
-    max_w_win = max_hw + 8  # alignment slack on the tiled W axis
-    assert w >= max_w_win, "feature W must cover the aligned window"
+    # alignment slack on the tiled W axis; whole-axis window when the
+    # level is too small for slack (x0 is then 0, trivially aligned)
+    max_w_win = max_w + 8 if w >= max_w + 8 else w
     xr, xin, x0 = prep(xs, w, max_w_win, align=8)
-    yr, yin, y0 = prep(ys, h, max_hw)
+    yr, yin, y0 = prep(ys, h, max_h)
     zr, zin, z0 = prep(zs, d, max_d)
-    starts = jnp.stack([batch_idx, z0, y0, x0], axis=1)
+    if active is None:
+        act = jnp.ones((n,), jnp.int32)
+    else:
+        act = active.astype(jnp.int32)
+    starts = jnp.stack([batch_idx, z0, y0, x0, act], axis=1)
 
     sd, sh_, sw = zr.shape[1], yr.shape[1], xr.shape[1]
 
@@ -212,7 +233,7 @@ def roi_align_3d_pallas(
         num_scalar_prefetch=1,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # features stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # features stay in HBM
             pl.BlockSpec(
                 (1, 8, 128), lambda i, s: (i, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -223,7 +244,7 @@ def roi_align_3d_pallas(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((max_d, max_hw, max_w_win, c), features.dtype),
+            pltpu.VMEM((max_d, max_h, max_w_win, c), features.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -262,56 +283,40 @@ def multi_level_roi_align_3d_pallas(
     """FPN-level dispatch over the Pallas crop kernel (opt-in via
     bbox_roi_extractor.roi_layer.use_pallas).
 
-    Mirrors `multi_level_roi_align_3d_reference` semantics: every roi is
-    aligned against every level (each a per-level kernel launch) and the
-    row for its assigned level selected — the per-roi cost is one window
-    DMA, so the x num_levels overhead is acceptable for the opt-in path;
-    window bounds shrink to each level's extent.
+    Each roi pays exactly ONE window DMA + interpolation: the per-level
+    kernel launch skips (no DMA, no compute) every roi not assigned to
+    that level via the scalar-prefetched active flag, and the masked
+    sum selects each roi's (only defined) row.  Window bounds clamp to
+    each level's extent, so small pyramid levels run whole-level
+    windows with exact global-clamp semantics.
     """
-    from .roi_align3d import map_roi_levels, multi_level_roi_align_3d
+    from .roi_align3d import map_roi_levels
 
     num_levels = len(feats)
     target = map_roi_levels(rois, num_levels, finest_scale)
-    if valid is not None:
-        target = jnp.where(valid, target, 0)
     out = None
     for lvl, f in enumerate(feats):
-        # The crop kernel needs W >= max_hw + 8 (alignment slack) and a
-        # window covering the per-level roi extent.  Coarse pyramid
-        # levels are too small for that — rois dispatched there would
-        # clamp (wrong features) or trip the kernel assert — so those
-        # levels fall back to the XLA gather op; the per-level masked
-        # sum composes both backends transparently.
         md = min(max_d, f.shape[1])
-        mh = min(max_hw, f.shape[2])
-        if f.shape[3] < mh + 8 or mh < 16:
-            o = multi_level_roi_align_3d(
-                [f],
-                rois,
-                out_size,
-                out_size_depth,
-                [featmap_strides[lvl]],
-                [featmap_strides_depth[lvl]],
-                sample_num,
-                finest_scale=finest_scale,
-            )
-        else:
-            o = roi_align_3d_pallas(
-                f,
-                rois,
-                out_size,
-                out_size_depth,
-                1.0 / featmap_strides[lvl],
-                1.0 / featmap_strides_depth[lvl],
-                sample_num,
-                max_d=md,
-                max_hw=mh,
-                interpret=interpret,
-            )
+        mh = max_hw  # per-axis clamping happens inside the kernel call
+        act = target == lvl
+        if valid is not None:
+            act = act & valid
+        o = roi_align_3d_pallas(
+            f,
+            rois,
+            out_size,
+            out_size_depth,
+            1.0 / featmap_strides[lvl],
+            1.0 / featmap_strides_depth[lvl],
+            sample_num,
+            max_d=md,
+            max_hw=mh,
+            interpret=interpret,
+            active=act,
+        )
         # each roi maps to exactly one level -> masked sum selects it
-        sel = (target == lvl)[:, None, None, None, None]
+        # (skipped rois' rows are undefined, so mask BEFORE summing)
+        sel = act[:, None, None, None, None]
         o = jnp.where(sel, o, 0.0)
         out = o if out is None else out + o
-    if valid is not None:
-        out = jnp.where(valid[:, None, None, None, None], out, 0.0)
     return out

@@ -476,3 +476,41 @@ def test_xfirst_matches_gather_dispatch():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=2e-5
     )
+
+
+def test_multi_level_pallas_small_coarse_levels():
+    """Coarse pyramid levels too small for the aligned window run as
+    whole-level windows inside the Pallas kernel (exact global clamp) —
+    no XLA-gather fallback; skipped rois (other level / invalid) are
+    undefined and masked."""
+    from mrcnn3d.ops.roi_align3d_pallas import (
+        multi_level_roi_align_3d_pallas,
+    )
+
+    rng = np.random.RandomState(33)
+    feats = [
+        jnp.asarray(rng.randn(2, 16, 32, 32, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(2, 8, 16, 16, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(2, 4, 8, 8, 8).astype(np.float32)),
+    ]
+    n = 16
+    x1 = rng.uniform(0, 60, n)
+    y1 = rng.uniform(0, 60, n)
+    z1 = rng.uniform(0, 20, n)
+    # spread roi sizes so all three levels receive rois
+    sz = rng.uniform(4, 100, n)
+    rois = jnp.asarray(
+        np.stack(
+            [rng.randint(0, 2, n).astype(np.float64), x1, y1,
+             x1 + sz, y1 + sz, z1, z1 + rng.uniform(2, 10, n)], -1,
+        ).astype(np.float32)
+    )
+    valid = jnp.asarray(rng.rand(n) > 0.2)
+    ref = multi_level_roi_align_3d(
+        feats, rois, 7, 3, [4, 8, 16], [2, 4, 8], 2, valid=valid
+    )
+    got = multi_level_roi_align_3d_pallas(
+        feats, rois, 7, 3, [4, 8, 16], [2, 4, 8], 2, valid=valid,
+        max_d=16, max_hw=32, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
