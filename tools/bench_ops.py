@@ -22,6 +22,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# the axon sitecustomize pins jax_platforms to "axon,cpu" regardless of
+# env; honor an explicit JAX_PLATFORMS (CPU smoke runs) like conftest
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def bench(name, fn, inputs, iters):
     out = fn(*inputs[0])
@@ -38,6 +43,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n-rois", type=int, default=1024)
     p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--hw", type=int, default=512,
+                   help="input H=W for the multi-level section "
+                        "(shrink for CPU smoke tests)")
+    p.add_argument("--ml-rois", type=int, default=2000)
     args = p.parse_args()
 
     from mrcnn3d.models.resnet3d import stem_conv_s2d
@@ -75,7 +84,9 @@ def main():
     )
     bench(
         "nms pallas scan (2000)",
-        jax.jit(lambda b, s, v: nms_3d_mask_pallas(b, s, v, 0.7)),
+        jax.jit(lambda b, s, v: nms_3d_mask_pallas(
+            b, s, v, 0.7, interpret=jax.default_backend() != "tpu"
+        )),
         dets,
         args.iters,
     )
@@ -105,12 +116,86 @@ def main():
         f"roi_align pallas crop ({n} rois)",
         jax.jit(
             lambda f: roi_align_3d_pallas(
-                f, rois, 7, 3, 0.25, 0.5, 2, max_d=16, max_hw=32
+                f, rois, 7, 3, 0.25, 0.5, 2, max_d=16, max_hw=32,
+                interpret=jax.default_backend() != "tpu",
             )
         ),
         [(f,) for f in feats],
         args.iters,
     )
+
+    # ---- multi-level RoIAlign at the REAL bbox/mask stage geometry ----
+    # (512x512x64 input -> 4 FPN levels, strides [4,8,16,32] /
+    # depth [2,4,8,16], C=64 bf16, full 2000-roi budget): the three
+    # backends the pipeline can dispatch to.
+    from mrcnn3d.ops.roi_align3d import (
+        multi_level_roi_align_3d_chunked,
+        multi_level_roi_align_3d_xfirst,
+    )
+    from mrcnn3d.ops.roi_align3d_pallas import (
+        multi_level_roi_align_3d_pallas,
+    )
+
+    strides = [4, 8, 16, 32]
+    dstrides = [2, 4, 8, 16]
+    hw = args.hw
+    dep = max(hw // 8, 16)
+    lv = [
+        jnp.asarray(
+            rng.randn(1, max(dep // dz, 1), max(hw // s, 4),
+                      max(hw // s, 4), 64),
+            jnp.bfloat16,
+        )
+        for s, dz in zip(strides, dstrides)
+    ]
+    m = args.ml_rois
+    x1 = rng.uniform(0, hw * 0.94, m)
+    y1 = rng.uniform(0, hw * 0.94, m)
+    z1 = rng.uniform(0, dep * 0.8, m)
+    sz = rng.uniform(4, 60, m)  # mostly level-0/1 rois, like microbleeds
+    mrois = jnp.asarray(
+        np.stack(
+            [np.zeros(m), x1, y1, x1 + sz, y1 + sz, z1,
+             z1 + rng.uniform(2, 12, m)], -1,
+        ).astype(np.float32)
+    )
+    mvalid = jnp.ones(m, bool)
+    for tag, (osz, odz) in (("bbox 7x7x3", (7, 3)),
+                            ("mask 14x14x10", (14, 10))):
+        bench(
+            f"mlroi gather-chunked {tag} ({m} rois)",
+            jax.jit(
+                lambda f, o=osz, z=odz: multi_level_roi_align_3d_chunked(
+                    list(f), mrois, o, z, strides, dstrides, 2,
+                    valid=mvalid, chunk=256,
+                )
+            ),
+            [(tuple(lv),)],
+            args.iters,
+        )
+        bench(
+            f"mlroi xfirst {tag} ({m} rois)",
+            jax.jit(
+                lambda f, o=osz, z=odz: multi_level_roi_align_3d_xfirst(
+                    list(f), mrois, o, z, strides, dstrides, 2,
+                    valid=mvalid,
+                )
+            ),
+            [(tuple(lv),)],
+            args.iters,
+        )
+        bench(
+            f"mlroi pallas-crop {tag} ({m} rois)",
+            jax.jit(
+                lambda f, o=osz, z=odz: multi_level_roi_align_3d_pallas(
+                    list(f), mrois, o, z, strides, dstrides, 2,
+                    valid=mvalid, max_d=16, max_hw=32,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            ),
+            [(tuple(lv),)],
+            args.iters,
+        )
 
     # ---- stem conv ----
     xs = [
