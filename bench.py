@@ -42,7 +42,41 @@ except Exception:
     pass
 
 
+def _require_device(timeout_s=240):
+    """Fail fast (one JSON error line, rc 1) when the TPU backend is
+    unreachable — jax.devices() blocks indefinitely on a dead tunnel,
+    which would hang the whole bench run instead of recording why."""
+    import threading
+
+    ok = []
+
+    def probe():
+        try:
+            jax.devices()
+            ok.append(True)
+        except Exception:
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok:
+        print(json.dumps({
+            "metric": (
+                "2-scale MaskRCNN3D bbox+segm inference, 512x512x64 patch"
+            ),
+            "value": 0.0,
+            "unit": "volumes/sec/chip",
+            "vs_baseline": 0.0,
+            "error": f"jax backend unreachable after {timeout_s}s "
+                     "(TPU tunnel down?)",
+        }))
+        sys.stdout.flush()
+        os._exit(1)
+
+
 def main():
+    _require_device()
     from mrcnn3d.detectors import pipeline as pl
     from mrcnn3d.detectors.build import anchor_cfgs, build_detector
     from mrcnn3d.utils.config import Config
@@ -129,14 +163,23 @@ def main():
     dets, valid = infer(jax.random.PRNGKey(1), base1, base2)
     jax.block_until_ready(dets)
 
-    iters = 12
-    t0 = time.perf_counter()
-    for i in range(iters):
-        dets, valid = infer(
+    # per-iter timing + median: wall-clock means were moving 0.11-0.19 s
+    # across runs (remote-execution jitter); the median is stable
+    def timed(fn, iters):
+        ts = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            out = fn(i)
+            jax.block_until_ready(out)
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    dt = timed(
+        lambda i: infer(
             jax.random.fold_in(jax.random.PRNGKey(2), i), base1, base2
-        )
-    jax.block_until_ready(dets)
-    dt = (time.perf_counter() - t0) / iters
+        ),
+        12,
+    )
     value = 1.0 / dt  # volumes (patch pairs) per second per chip
     mfu_infer = infer_flops / dt / PEAK_FLOPS if infer_flops else None
 
@@ -165,15 +208,14 @@ def main():
     dd, vv, mm = infer_segm(jax.random.PRNGKey(4), base1, base2)
     jax.block_until_ready(mm)
     segm_dets = int(jnp.sum(vv))
-    t0 = time.perf_counter()
-    for i in range(6):
-        dd, vv, mm = infer_segm(
+    segm_dt = timed(
+        lambda i: infer_segm(
             jax.random.fold_in(jax.random.PRNGKey(5), i),
             base1,
             base2,
-        )
-    jax.block_until_ready(mm)
-    segm_dt = (time.perf_counter() - t0) / 6
+        )[2],
+        8,
+    )
 
     # ---- training step at the reference crop geometry ----
     from mrcnn3d.train.optim import make_optimizer, step_lr_schedule
@@ -233,15 +275,23 @@ def main():
     train_flops = flops_of(compiled_train)
     state, _ = train_step(state, batch0, jax.random.PRNGKey(8))
     jax.block_until_ready(state.params)
+    # pre-build batches so host-side RNG isn't timed with the step
     t_iters = 8
-    t0 = time.perf_counter()
+    batches = [
+        make_batch(jax.random.fold_in(jax.random.PRNGKey(9), i))
+        for i in range(t_iters)
+    ]
+    jax.block_until_ready(batches)
+    ts = []
     for i in range(t_iters):
+        t0 = time.perf_counter()
         state, metrics = train_step(
-            state, make_batch(jax.random.fold_in(jax.random.PRNGKey(9), i)),
+            state, batches[i],
             jax.random.fold_in(jax.random.PRNGKey(10), i),
         )
-    jax.block_until_ready(state.params)
-    train_dt = (time.perf_counter() - t0) / t_iters
+        jax.block_until_ready(state.params)
+        ts.append(time.perf_counter() - t0)
+    train_dt = float(np.median(ts))
     mfu_train = (
         train_flops / train_dt / PEAK_FLOPS if train_flops else None
     )
