@@ -17,18 +17,21 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def spatial_extract_feat(model, variables, mesh: Mesh, axis: str = "data"):
+def spatial_extract_feat(model, variables, mesh: Mesh, axis: str = "data",
+                         batch_axis: str | None = None):
     """Returns a jitted extract_feat with the volume depth axis sharded.
 
     imgs (B, D, H, W, 3) are sharded over D across `axis`; FPN outputs are
     gathered back to replicated for the (cheap) detection stages.
+    With `batch_axis` (2-D mesh from make_mesh2), the batch dim is
+    additionally sharded — hybrid DP x spatial inference.
 
     D must be divisible by the mesh axis size times the total depth
     stride (16) for even sharding; pad the volume accordingly.
     """
-    in_sh = NamedSharding(mesh, P(None, axis))
-    out_sh = NamedSharding(mesh, P())
-    model = _with_spatial_shard(model, mesh, axis)
+    in_sh = NamedSharding(mesh, P(batch_axis, axis))
+    out_sh = NamedSharding(mesh, P(batch_axis))
+    model = _with_spatial_shard(model, mesh, axis, batch_axis)
 
     @jax.jit
     def fn(imgs):
@@ -41,7 +44,7 @@ def spatial_extract_feat(model, variables, mesh: Mesh, axis: str = "data"):
     return fn
 
 
-def _with_spatial_shard(model, mesh, axis):
+def _with_spatial_shard(model, mesh, axis, batch_axis=None):
     """Clone the model with per-stage depth-sharding annotations.
 
     The in-model constraints (ResNet3D.spatial_shard) replicate any
@@ -53,20 +56,23 @@ def _with_spatial_shard(model, mesh, axis):
     clone = getattr(model, "clone", None)
     if clone is None:
         return model
-    return clone(spatial_shard=(mesh, axis))
+    shard = (mesh, axis, batch_axis) if batch_axis else (mesh, axis)
+    return clone(spatial_shard=shard)
 
 
 def sharded_simple_test(model, variables, cfg, anchor_sets, mesh,
-                        axis: str = "data"):
+                        axis: str = "data",
+                        batch_axis: str | None = None):
     """Whole-volume inference with the backbone spatially sharded.
 
     Feature extraction runs depth-sharded; proposals/heads/NMS run
-    replicated (they are <5%% of the FLOPs).
+    replicated (they are <5%% of the FLOPs).  With `batch_axis` (2-D
+    mesh), volumes are additionally batch-sharded: hybrid DP x spatial.
     """
     from ..detectors import pipeline as pl
 
-    in_sh = NamedSharding(mesh, P(None, axis))
-    model = _with_spatial_shard(model, mesh, axis)
+    in_sh = NamedSharding(mesh, P(batch_axis, axis))
+    model = _with_spatial_shard(model, mesh, axis, batch_axis)
 
     @jax.jit
     def fn(batch):

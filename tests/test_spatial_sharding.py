@@ -255,3 +255,61 @@ def test_hybrid_dp_depth_train_step_matches_unsharded():
         np.testing.assert_allclose(
             np.asarray(b_), np.asarray(a), rtol=5e-3, atol=2e-4
         )
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+def test_hybrid_sharded_simple_test_matches_replicated():
+    """sharded_simple_test over a 2x4 (data x depth) mesh with batch=2
+    == plain simple_test: hybrid DP x spatial whole-volume inference."""
+    from mrcnn3d.detectors import pipeline as pl
+    from mrcnn3d.detectors.build import anchor_cfgs, build_detector
+    from mrcnn3d.parallel.mesh import make_mesh2
+    from mrcnn3d.parallel.spatial import sharded_simple_test
+    from mrcnn3d.utils.config import Config
+
+    cfg = Config.fromfile("configs/mask_rcnn_3d_2scales.py")
+    cfg.model["backbone"]["depth"] = 18
+    for k in ("nms_pre", "nms_post", "max_num"):
+        cfg.test_cfg["rpn"][k] = 16
+    cfg.test_cfg["rcnn"]["max_per_img"] = 8
+
+    model = build_detector(cfg)
+    d, h, w = 16, 32, 32
+    d2, h2, w2 = 24, 48, 48
+    rng = np.random.RandomState(7)
+    batch = dict(
+        imgs=jnp.asarray(rng.randn(2, d, h, w, 3), jnp.float32),
+        imgs_2=jnp.asarray(rng.randn(2, d2, h2, w2, 3), jnp.float32),
+    )
+    variables = model.init(jax.random.PRNGKey(0), batch["imgs"][:1])
+    acfgs = anchor_cfgs(cfg)
+    asets = []
+    for i, (dd, hh, ww) in enumerate(((d, h, w), (d2, h2, w2))):
+        feats = jax.eval_shape(
+            lambda v: model.apply(
+                variables, v, method=model.extract_feat
+            ),
+            batch["imgs" if i == 0 else "imgs_2"],
+        )
+        asets.append(
+            pl.build_anchor_set(
+                [f.shape[1:4] for f in feats], (hh, ww, 3, dd), acfgs[i]
+            )
+        )
+
+    ref = pl.simple_test(model, variables, batch, cfg, asets)
+    mesh = make_mesh2(2, 4)
+    fn = sharded_simple_test(
+        model, variables, cfg, asets, mesh,
+        axis="depth", batch_axis="data",
+    )
+    dets, labels, valid = fn(batch)
+    np.testing.assert_array_equal(
+        np.asarray(valid), np.asarray(ref["valid"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(dets), np.asarray(ref["dets"]), atol=2e-3
+    )
