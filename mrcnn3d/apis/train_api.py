@@ -103,6 +103,34 @@ def train_detector(cfg, dataset, work_dir=None, seed=0, validate=False,
     rng = set_random_seed(seed)
     work_dir = work_dir or cfg.get("work_dir", "./work_dirs/default")
 
+    # preemption-safe shutdown, installed BEFORE the (minutes-long)
+    # model build + first-step compile: TPU pools reclaim VMs with
+    # SIGTERM; the handler flags the request and the train loop
+    # checkpoints + returns cleanly, so `restore` resumes from the
+    # reclaimed step instead of the last interval boundary.  (The
+    # reference has no equivalent — mmcv Runner loses everything since
+    # the last epoch checkpoint.)
+    import signal
+
+    stop = {"sig": None}
+
+    def _on_stop(signum, frame):
+        stop["sig"] = signum
+
+    prev_handlers = {}
+    for s in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[s] = signal.signal(s, _on_stop)
+        except ValueError:  # not the main thread (e.g. a test runner)
+            pass
+
+    def _restore_handlers():
+        for s, h in prev_handlers.items():
+            try:
+                signal.signal(s, h)
+            except ValueError:
+                pass
+
     model = build_detector(cfg)
     shapes = train_shapes(cfg, dataset)
     d, h, w = shapes[0]
@@ -193,9 +221,19 @@ def train_detector(cfg, dataset, work_dir=None, seed=0, validate=False,
                         f"{k}:{v:.3f}" for k, v in m.items() if k != "loss"
                     ),
                 )
+            if stop["sig"] is not None:
+                ckpt.save(manager, state, it)
+                manager.wait_until_finished()
+                logger.info(
+                    "signal %s: checkpointed step %d and stopped",
+                    stop["sig"], it,
+                )
+                _restore_handlers()
+                return state
             if max_iters and it >= max_iters:
                 ckpt.save(manager, state, it)
                 manager.wait_until_finished()
+                _restore_handlers()
                 return state
         if (epoch + 1) % ckpt_interval == 0:
             ckpt.save(manager, state, it)
@@ -213,5 +251,6 @@ def train_detector(cfg, dataset, work_dir=None, seed=0, validate=False,
             logger.info("eval @ epoch %d: %s", epoch, stats)
     ckpt.save(manager, state, it)
     manager.wait_until_finished()
+    _restore_handlers()
     logger.info("training done in %.1fs", time.time() - t_start)
     return state
