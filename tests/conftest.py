@@ -40,10 +40,16 @@ def _cpu_cache_dir():
     return f"/tmp/mrcnn3d_jax_cache_cpu_{fp}"
 
 
-try:
-    jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-except Exception:
-    pass
+if os.environ.get("MRCNN3D_NO_COMPILE_CACHE") != "1":
+    # (the no-cache escape hatch exists because XLA:CPU aborts when
+    # RELOADING serialized multi-device SPMD executables for some 2-D
+    # mesh programs — the isolated hybrid-mesh tests compile fresh)
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0
+        )
+    except Exception:
+        pass
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
