@@ -116,6 +116,15 @@ def train_detector(cfg, dataset, work_dir=None, seed=0, validate=False,
 
     def _on_stop(signum, frame):
         stop["sig"] = signum
+        if signum == signal.SIGINT:
+            # first ^C requests a graceful checkpoint-and-exit; restore
+            # the default handler so a second ^C kills immediately
+            # (e.g. when stuck in a long compile)
+            try:
+                signal.signal(signal.SIGINT, prev_handlers.get(
+                    signal.SIGINT, signal.default_int_handler))
+            except ValueError:
+                pass
 
     prev_handlers = {}
     for s in (signal.SIGTERM, signal.SIGINT):
@@ -131,126 +140,126 @@ def train_detector(cfg, dataset, work_dir=None, seed=0, validate=False,
             except ValueError:
                 pass
 
-    model = build_detector(cfg)
-    shapes = train_shapes(cfg, dataset)
-    d, h, w = shapes[0]
-    init_rng, rng = jax.random.split(rng)
-    example = jnp.zeros((1, min(d, 8), min(h, 32), min(w, 32), 3))
+    try:
+        model = build_detector(cfg)
+        shapes = train_shapes(cfg, dataset)
+        d, h, w = shapes[0]
+        init_rng, rng = jax.random.split(rng)
+        example = jnp.zeros((1, min(d, 8), min(h, 32), min(w, 32), 3))
 
-    batch_size = cfg.data.get("imgs_per_gpu", 1)
-    if mesh == "auto":
-        mesh = make_mesh() if len(jax.devices()) > 1 else None
-    if mesh is not None:
-        batch_size = batch_size * mesh.devices.size
-        logger.info("data-parallel mesh over %d devices", mesh.devices.size)
+        batch_size = cfg.data.get("imgs_per_gpu", 1)
+        if mesh == "auto":
+            mesh = make_mesh() if len(jax.devices()) > 1 else None
+        if mesh is not None:
+            batch_size = batch_size * mesh.devices.size
+            logger.info("data-parallel mesh over %d devices", mesh.devices.size)
 
-    iters_per_epoch = max(len(dataset) // batch_size, 1)
-    sched = step_lr_schedule(
-        cfg.optimizer["lr"],
-        cfg.lr_config.get("step", []),
-        iters_per_epoch,
-        cfg.lr_config.get("warmup_iters", 10),
-        cfg.lr_config.get("warmup_ratio", 1.0 / 3),
-    )
-    tx = make_optimizer(
-        cfg.optimizer, cfg.optimizer_config.get("grad_clip"), sched
-    )
-    state = create_train_state(model, init_rng, example, tx)
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
-    n_params = sum(x.size for x in jax.tree.leaves(state.params))
-    logger.info("model built: %.1fM params", n_params / 1e6)
-
-    anchor_sets = compute_anchor_sets(cfg, model, variables, shapes)
-    step_fn = make_train_step(model, tx, cfg, anchor_sets, mesh=mesh)
-
-    manager = ckpt.make_manager(work_dir)
-    restored = ckpt.restore(manager, state)
-    if restored is not None:
-        state = restored
-        logger.info("resumed from step %d", int(state.step))
-
-    total_epochs = cfg.get("total_epochs", 1)
-    ckpt_interval = cfg.get("checkpoint_config", {}).get("interval", 5)
-    log_interval = log_interval or cfg.get("log_config", {}).get(
-        "interval", 1
-    )
-
-    # per-host data sharding (reference DistributedGroupSampler role):
-    # each process loads its own deterministic shard of every epoch
-    rank, world = jax.process_index(), jax.process_count()
-
-    it = int(state.step)
-    t_start = time.time()
-    t_last = t_start
-    profiling = False
-    for epoch in range(it // iters_per_epoch, total_epochs):
-        loader = Prefetcher(
-            dataset, batch_size, epoch=epoch, shuffle=True, seed=seed,
-            rank=rank, world=world,
-            num_workers=cfg.data.get("workers_per_gpu", 4),
-            mode=cfg.data.get("loader_mode", "thread"),
+        iters_per_epoch = max(len(dataset) // batch_size, 1)
+        sched = step_lr_schedule(
+            cfg.optimizer["lr"],
+            cfg.lr_config.get("step", []),
+            iters_per_epoch,
+            cfg.lr_config.get("warmup_iters", 10),
+            cfg.lr_config.get("warmup_ratio", 1.0 / 3),
         )
-        for batch in loader:
-            batch.pop("img_info", None)
-            if profile_steps and it == profile_steps[0] and not profiling:
-                jax.profiler.start_trace(
-                    str(work_dir) + "/profile"
-                )
-                profiling = True
-            rng, step_rng = jax.random.split(rng)
-            state, metrics = step_fn(state, batch, step_rng)
-            it += 1
-            if profiling and it >= profile_steps[1]:
-                jax.block_until_ready(metrics)
-                jax.profiler.stop_trace()
-                profiling = False
-                logger.info("profiler trace written to %s/profile", work_dir)
-            if it % log_interval == 0:
-                m = {k: float(v) for k, v in metrics.items()}
-                now = time.time()
-                dt = (now - t_last) / log_interval
-                t_last = now
-                logger.info(
-                    "epoch %d iter %d lr %.2e loss %.4f %.2fs/it | %s",
-                    epoch,
-                    it,
-                    float(sched(it)),
-                    m["loss"],
-                    dt,
-                    " ".join(
-                        f"{k}:{v:.3f}" for k, v in m.items() if k != "loss"
-                    ),
-                )
-            if stop["sig"] is not None:
-                ckpt.save(manager, state, it)
-                manager.wait_until_finished()
-                logger.info(
-                    "signal %s: checkpointed step %d and stopped",
-                    stop["sig"], it,
-                )
-                _restore_handlers()
-                return state
-            if max_iters and it >= max_iters:
-                ckpt.save(manager, state, it)
-                manager.wait_until_finished()
-                _restore_handlers()
-                return state
-        if (epoch + 1) % ckpt_interval == 0:
-            ckpt.save(manager, state, it)
-        if validate and val_dataset is not None and (
-            (epoch + 1) % cfg.get("interval", 5) == 0
-        ):
-            from .test_api import evaluate_dataset
+        tx = make_optimizer(
+            cfg.optimizer, cfg.optimizer_config.get("grad_clip"), sched
+        )
+        state = create_train_state(model, init_rng, example, tx)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        n_params = sum(x.size for x in jax.tree.leaves(state.params))
+        logger.info("model built: %.1fM params", n_params / 1e6)
 
-            # rank-strided validation shard, all-gathered before scoring
-            # (reference eval_hooks.py:111-149)
-            stats = evaluate_dataset(
-                cfg, model, state, val_dataset,
-                rank=jax.process_index(), world=jax.process_count(),
+        anchor_sets = compute_anchor_sets(cfg, model, variables, shapes)
+        step_fn = make_train_step(model, tx, cfg, anchor_sets, mesh=mesh)
+
+        manager = ckpt.make_manager(work_dir)
+        restored = ckpt.restore(manager, state)
+        if restored is not None:
+            state = restored
+            logger.info("resumed from step %d", int(state.step))
+
+        total_epochs = cfg.get("total_epochs", 1)
+        ckpt_interval = cfg.get("checkpoint_config", {}).get("interval", 5)
+        log_interval = log_interval or cfg.get("log_config", {}).get(
+            "interval", 1
+        )
+
+        # per-host data sharding (reference DistributedGroupSampler role):
+        # each process loads its own deterministic shard of every epoch
+        rank, world = jax.process_index(), jax.process_count()
+
+        it = int(state.step)
+        t_start = time.time()
+        t_last = t_start
+        profiling = False
+        for epoch in range(it // iters_per_epoch, total_epochs):
+            loader = Prefetcher(
+                dataset, batch_size, epoch=epoch, shuffle=True, seed=seed,
+                rank=rank, world=world,
+                num_workers=cfg.data.get("workers_per_gpu", 4),
+                mode=cfg.data.get("loader_mode", "thread"),
             )
-            logger.info("eval @ epoch %d: %s", epoch, stats)
-    ckpt.save(manager, state, it)
-    manager.wait_until_finished()
-    _restore_handlers()
-    logger.info("training done in %.1fs", time.time() - t_start)
-    return state
+            for batch in loader:
+                batch.pop("img_info", None)
+                if profile_steps and it == profile_steps[0] and not profiling:
+                    jax.profiler.start_trace(
+                        str(work_dir) + "/profile"
+                    )
+                    profiling = True
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = step_fn(state, batch, step_rng)
+                it += 1
+                if profiling and it >= profile_steps[1]:
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    logger.info("profiler trace written to %s/profile", work_dir)
+                if it % log_interval == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    now = time.time()
+                    dt = (now - t_last) / log_interval
+                    t_last = now
+                    logger.info(
+                        "epoch %d iter %d lr %.2e loss %.4f %.2fs/it | %s",
+                        epoch,
+                        it,
+                        float(sched(it)),
+                        m["loss"],
+                        dt,
+                        " ".join(
+                            f"{k}:{v:.3f}" for k, v in m.items() if k != "loss"
+                        ),
+                    )
+                if stop["sig"] is not None:
+                    ckpt.save(manager, state, it)
+                    manager.wait_until_finished()
+                    logger.info(
+                        "signal %s: checkpointed step %d and stopped",
+                        stop["sig"], it,
+                    )
+                    return state
+                if max_iters and it >= max_iters:
+                    ckpt.save(manager, state, it)
+                    manager.wait_until_finished()
+                    return state
+            if (epoch + 1) % ckpt_interval == 0:
+                ckpt.save(manager, state, it)
+            if validate and val_dataset is not None and (
+                (epoch + 1) % cfg.get("interval", 5) == 0
+            ):
+                from .test_api import evaluate_dataset
+
+                # rank-strided validation shard, all-gathered before scoring
+                # (reference eval_hooks.py:111-149)
+                stats = evaluate_dataset(
+                    cfg, model, state, val_dataset,
+                    rank=jax.process_index(), world=jax.process_count(),
+                )
+                logger.info("eval @ epoch %d: %s", epoch, stats)
+        ckpt.save(manager, state, it)
+        manager.wait_until_finished()
+        logger.info("training done in %.1fs", time.time() - t_start)
+        return state
+    finally:
+        _restore_handlers()

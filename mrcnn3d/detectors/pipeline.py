@@ -887,11 +887,10 @@ def _roi_align_cfg(feats, rois, roi_cfg, valid=None, chunk=0,
         # within one program, so the caller builds the 8x table once
         kw["prepacked"] = prepacked
     layer = roi_cfg.get("roi_layer", {})
-    if (
-        dense
-        and layer.get("use_dense_train", True)
-        and not layer.get("use_pallas", False)
-    ):
+    # dense (the training path) takes precedence over use_pallas: the
+    # Pallas crop kernel has no VJP, so routing loss_fn through it
+    # would fail at the first jax.grad — use_pallas is inference-only
+    if dense and layer.get("use_dense_train", True):
         # training path: dense separable MXU formulation — the
         # corner-gather backward is a multi-million-row scatter-add that
         # dominated the round-2 train step (PROFILE.md)
@@ -905,9 +904,10 @@ def _roi_align_cfg(feats, rois, roi_cfg, valid=None, chunk=0,
             roi_cfg["roi_layer"]["sample_num"],
             valid=valid,
         )
-    if layer.get("use_pallas", False):
+    if layer.get("use_pallas", False) and not dense:
         # opt-in Pallas crop kernel (window DMA + MXU interpolation);
-        # config flag mirrors the roi_layer type switch upstream
+        # config flag mirrors the roi_layer type switch upstream.
+        # Inference-only (`not dense`): the kernel has no VJP
         from ..ops.roi_align3d_pallas import (
             multi_level_roi_align_3d_pallas,
         )

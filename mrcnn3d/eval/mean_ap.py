@@ -254,6 +254,13 @@ def eval_map(
                 break
         if dim:
             break
+    if dim is None:
+        # zero detections anywhere (e.g. an underfit checkpoint):
+        # infer the box rank from the gt pool instead of assuming 2-D
+        for gb in gt_bboxes:
+            if np.asarray(gb).size:
+                dim = np.asarray(gb).shape[-1] // 2
+                break
     dim = dim or 2
     area_ranges = (
         [(rg[0] ** dim, rg[1] ** dim) for rg in scale_ranges]

@@ -290,7 +290,7 @@ def multi_level_roi_align_3d_pallas(
     each level's extent, so small pyramid levels run whole-level
     windows with exact global-clamp semantics.
     """
-    from .roi_align3d import map_roi_levels
+    from .roi_align3d import map_roi_levels, multi_level_roi_align_3d
 
     num_levels = len(feats)
     target = map_roi_levels(rois, num_levels, finest_scale)
@@ -301,19 +301,29 @@ def multi_level_roi_align_3d_pallas(
         act = target == lvl
         if valid is not None:
             act = act & valid
-        o = roi_align_3d_pallas(
-            f,
-            rois,
-            out_size,
-            out_size_depth,
-            1.0 / featmap_strides[lvl],
-            1.0 / featmap_strides_depth[lvl],
-            sample_num,
-            max_d=md,
-            max_hw=mh,
-            interpret=interpret,
-            active=act,
-        )
+        if f.shape[3] < 8 and not interpret:
+            # sub-sublane-wide level (toy inputs only): the whole-axis
+            # DMA window would be under the 8-sublane tile — keep the
+            # XLA gather for this level on hardware (negligible size)
+            o = multi_level_roi_align_3d(
+                [f], rois, out_size, out_size_depth,
+                [featmap_strides[lvl]], [featmap_strides_depth[lvl]],
+                sample_num, finest_scale=finest_scale, valid=act,
+            )
+        else:
+            o = roi_align_3d_pallas(
+                f,
+                rois,
+                out_size,
+                out_size_depth,
+                1.0 / featmap_strides[lvl],
+                1.0 / featmap_strides_depth[lvl],
+                sample_num,
+                max_d=md,
+                max_hw=mh,
+                interpret=interpret,
+                active=act,
+            )
         # each roi maps to exactly one level -> masked sum selects it
         # (skipped rois' rows are undefined, so mask BEFORE summing)
         sel = act[:, None, None, None, None]

@@ -56,6 +56,17 @@ def _with_spatial_shard(model, mesh, axis, batch_axis=None):
     clone = getattr(model, "clone", None)
     if clone is None:
         return model
+    # only ResNet3D implements the per-stage constraints; silently
+    # accepting another backbone would let XLA propagate a depth
+    # sharding onto stages with fewer slices than shards — the exact
+    # strided-conv miscompile the constraints exist to prevent
+    btype = getattr(model, "backbone_type", "ResNet3D")
+    if btype not in ("ResNet3D",):
+        raise ValueError(
+            f"spatial depth-sharding requires the ResNet3D backbone "
+            f"(got {btype}): other backbones lack the per-stage "
+            f"sharding constraints (see ResNet3D.spatial_shard)"
+        )
     shard = (mesh, axis, batch_axis) if batch_axis else (mesh, axis)
     return clone(spatial_shard=shard)
 

@@ -54,7 +54,11 @@ def make_train_step(model, tx, cfg, anchor_sets, mesh=None):
     """
     hybrid = mesh is not None and "depth" in mesh.axis_names
     if hybrid:
-        model = model.clone(spatial_shard=(mesh, "depth", "data"))
+        from ..parallel.spatial import _with_spatial_shard
+
+        # raises for backbones without per-stage constraints (only
+        # ResNet3D has them) instead of miscompiling silently
+        model = _with_spatial_shard(model, mesh, "depth", "data")
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         img_sh = NamedSharding(mesh, P("data", "depth"))

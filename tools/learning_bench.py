@@ -135,10 +135,14 @@ def main():
     ann_va2, dir_va2 = make_synthetic_coco3d_scaled(
         ann_va, dir_va, val_root + "_1dot5x", cfg.get("upscale_factor", 1.5)
     )
+    # hash EVERYTHING the protocol consumes, incl. the 1.5x scaled val
+    # twin that eval pass 2 reads — a scaling-generator change must
+    # change the recorded hash or the bisectability guarantee is void
     data_hash = sha256_paths(
-        [ann_tr, ann_va]
+        [ann_tr, ann_va, ann_va2]
         + glob.glob(os.path.join(dir_tr, "*.npy"))
         + glob.glob(os.path.join(dir_va, "*.npy"))
+        + glob.glob(os.path.join(dir_va2, "*.npy"))
     )
     print(f"data ready in {time.time()-t0:.1f}s  sha256={data_hash[:16]}…")
 
