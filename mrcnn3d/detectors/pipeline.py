@@ -945,6 +945,51 @@ def _roi_align_cfg(feats, rois, roi_cfg, valid=None, chunk=0,
     )
 
 
+def _chunked_cond_map(fn, chunk, valid, *arrays):
+    """Scan `fn` over fixed-size row-chunks, skipping padding chunks.
+
+    NMS emits detections score-sorted with padding last, so chunks past
+    the last real row are pure padding: each chunk is lax.cond-skipped
+    (zeros out) when its `valid` slice is all-False — cost scales with
+    REAL rows while shapes stay static.  `fn(*array_chunks, valid_chunk)`
+    must return one array with the chunk as its leading dim; rows of
+    skipped chunks come back as zeros (callers mask by validity anyway).
+    """
+    n = valid.shape[0]
+    chunk = min(max(1, chunk), n)
+    pad = (-n) % chunk
+    k = (n + pad) // chunk
+
+    def padded(a):
+        if not pad:
+            return a
+        z = jnp.zeros((pad,) + a.shape[1:], a.dtype)
+        return jnp.concatenate([a, z])
+
+    operands = arrays + (valid,)
+    xs = tuple(
+        padded(a).reshape((k, chunk) + a.shape[1:]) for a in operands
+    )
+    out_sds = jax.eval_shape(
+        fn,
+        *(
+            jax.ShapeDtypeStruct((chunk,) + a.shape[1:], a.dtype)
+            for a in operands
+        ),
+    )
+
+    def body(carry, x):
+        o = jax.lax.cond(
+            jnp.any(x[-1]),
+            lambda: fn(*x),
+            lambda: jnp.zeros(out_sds.shape, out_sds.dtype),
+        )
+        return carry, o
+
+    _, out = jax.lax.scan(body, None, xs)
+    return out.reshape((k * chunk,) + out.shape[2:])[:n]
+
+
 def simple_test(
     model,
     variables,
@@ -1223,60 +1268,14 @@ def simple_test(
                 (1 << 30) // per_roi,
             )
         chunk = min(max(32, chunk), n)
-        pad = (-n) % chunk
-        rois_p = jnp.concatenate(
-            [rois, jnp.zeros((pad, 7), rois.dtype)]
-        ) if pad else rois
-        rvalid_p = jnp.concatenate(
-            [rvalid, jnp.zeros((pad,), bool)]
-        ) if pad else rvalid
-        k = (n + pad) // chunk
-        xs = (
-            rois_p.reshape(k, chunk, 7),
-            rvalid_p.reshape(k, chunk),
-        )
-        out_sds = jax.eval_shape(
-            align_stage,
-            jax.ShapeDtypeStruct((chunk, 7), rois.dtype),
-            jax.ShapeDtypeStruct((chunk,), jnp.bool_),
-        )
-
-        def body(carry, x):
-            # NMS emits detections score-sorted with padding last, so
-            # chunks past the last real detection are pure padding:
-            # cond-skip keeps the align cost scaling with REAL
-            # detections while shapes stay static
-            mf = jax.lax.cond(
-                jnp.any(x[1]),
-                lambda: align_stage(*x),
-                lambda: jnp.zeros(out_sds.shape, out_sds.dtype),
-            )
-            return carry, mf
-
-        _, mfeat = jax.lax.scan(body, None, xs)
-        mfeat = mfeat.reshape((k * chunk,) + mfeat.shape[2:])[:n]
+        mfeat = _chunked_cond_map(align_stage, chunk, rvalid, rois)
 
         # mask heads: batched in launch-efficient chunks (512 rois keeps
         # the convs large; per-align-chunk heads measured 223 ms vs
         # 84 ms batched) but still cond-skipped on pure-padding chunks
         # so head cost scales with REAL detections, not the static
         # 2000-det budget
-        hchunk = min(512, n)
-        hpad = (-n) % hchunk
-        if hpad:
-            zf = jnp.zeros((hpad,) + mfeat.shape[1:], mfeat.dtype)
-            mfeat_p = jnp.concatenate([mfeat, zf])
-            hvalid_p = jnp.concatenate(
-                [rvalid, jnp.zeros((hpad,), bool)]
-            )
-            refined_p = jnp.concatenate(
-                [refined, jnp.zeros((hpad,), bool)]
-            )
-        else:
-            mfeat_p, hvalid_p, refined_p = mfeat, rvalid, refined
-        hk = (n + hpad) // hchunk
-
-        def head_stage(mf_c, refined_c):
+        def head_stage(mf_c, refined_c, _valid_c):
             mp = apply(mf_c, 0, method=model.mask_forward)
             if with_ref_mask:
                 mr = apply(mf_c, method=model.refinement_mask_forward)
@@ -1285,33 +1284,9 @@ def simple_test(
                 )
             return mp
 
-        h_sds = jax.eval_shape(
-            head_stage,
-            jax.ShapeDtypeStruct(
-                (hchunk,) + mfeat.shape[1:], mfeat.dtype
-            ),
-            jax.ShapeDtypeStruct((hchunk,), jnp.bool_),
+        mpred = _chunked_cond_map(
+            head_stage, min(512, n), rvalid, mfeat, refined
         )
-
-        def head_body(carry, x):
-            mf_c, hv_c, rf_c = x
-            mp = jax.lax.cond(
-                jnp.any(hv_c),
-                lambda: head_stage(mf_c, rf_c),
-                lambda: jnp.zeros(h_sds.shape, h_sds.dtype),
-            )
-            return carry, mp
-
-        _, mpred = jax.lax.scan(
-            head_body,
-            None,
-            (
-                mfeat_p.reshape((hk, hchunk) + mfeat.shape[1:]),
-                hvalid_p.reshape(hk, hchunk),
-                refined_p.reshape(hk, hchunk),
-            ),
-        )
-        mpred = mpred.reshape((hk * hchunk,) + mpred.shape[2:])[:n]
         out["mask_logits"] = mpred
     return out
 
