@@ -90,3 +90,35 @@ def test_outside_anchors_filtered_when_over_budget():
     for b, v in zip(np.asarray(boxes), np.asarray(valid)):
         if v:
             assert tuple(np.round(b, 2)) in inside_boxes
+
+
+def test_chunked_cond_map_edges():
+    """Helper semantics: remainder padding, all-invalid chunk skip
+    (zeros), chunk > n clamp, validity passed as the last operand."""
+    import jax
+    import jax.numpy as jnp
+
+    from mrcnn3d.detectors.pipeline import _chunked_cond_map
+
+    n = 37
+    x = jnp.arange(n * 3, dtype=jnp.float32).reshape(n, 3)
+    valid = jnp.arange(n) < 20  # padding last, like NMS output
+
+    calls = []
+
+    def fn(x_c, v_c):
+        calls.append(1)
+        return x_c * 2.0
+
+    out = _chunked_cond_map(fn, 16, valid, x)
+    assert out.shape == (n, 3)
+    # real rows transformed
+    np.testing.assert_allclose(np.asarray(out[:20]), np.asarray(x[:20]) * 2)
+    # rows in fully-skipped chunks (32..36 live in chunk 2, all-invalid
+    # since valid stops at 20) come back zero
+    np.testing.assert_allclose(np.asarray(out[32:]), 0.0)
+    # chunk > n clamps
+    out2 = _chunked_cond_map(fn, 512, valid, x)
+    np.testing.assert_allclose(
+        np.asarray(out2[:20]), np.asarray(x[:20]) * 2
+    )
