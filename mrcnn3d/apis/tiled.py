@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..detectors import pipeline as pl
+from ..eval.masks import get_box_masks_3d
 from ..eval.results import det_entries, merge_patch_detections
 from .test_api import InferenceRunner
 
@@ -62,10 +63,19 @@ def tiled_inference(
 
     volume_sample: dict from dataset.prepare_test (imgs (D, H, W, 3)
     normalised [+ imgs_2]).  Returns per-class det arrays in volume
-    coordinates after the global merge NMS.
+    coordinates after the global merge NMS; when the model's mask path
+    is on (test_cfg return_bbox_only=False), also returns aligned
+    per-class segmentation lists — compact {box, mask, shape} dicts in
+    VOLUME coordinates (reference segm2json3D carries the patch mask +
+    segm_pos_* placement the same way, coco_utils.py:416-477); paste
+    with eval.masks.paste_mask_3d or feed to CocoEval3D directly.
     """
     runner = InferenceRunner(cfg, model, variables)
     img = np.asarray(volume_sample["imgs"])
+    with_masks = getattr(model, "with_mask", False) and not cfg.test_cfg.get(
+        "return_bbox_only", False
+    )
+    mask_thr = cfg.test_cfg["rcnn"].get("mask_thr_binary", 0.25)
     d, h, w, _ = img.shape
     patch_d = patch_d or d
     stride_hw = max(int(patch_hw * (1 - overlap)), 1)
@@ -98,7 +108,8 @@ def tiled_inference(
                     sample["imgs_2"] = _fixed_tile(
                         img2, z2, y2, x2, pd2, ph2
                     )
-                dets, labels, valid = runner(sample)
+                out = runner(sample)
+                dets, labels, valid = out[:3]
                 per_class = pl.bbox2result3d(
                     dets, labels, valid, model.num_classes
                 )
@@ -108,11 +119,31 @@ def tiled_inference(
                     pos_top=y0,
                     pos_front=z0,
                 )
-                entries.extend(det_entries(per_class, info))
+                patch_entries = det_entries(per_class, info)
+                if with_masks and len(out) > 3:
+                    # attach the box-extent mask to each entry: box
+                    # masks come out row-ordered with labels, which is
+                    # exactly bbox2result3d's per-class row order, so a
+                    # class-major flatten aligns with det_entries
+                    cls_masks = [[] for _ in range(model.num_classes - 1)]
+                    for bm in get_box_masks_3d(
+                        out[3], dets, labels, valid, mask_thr
+                    ):
+                        cls_masks[bm["label"] - 1].append(bm)
+                    flat = [bm for cm in cls_masks for bm in cm]
+                    shift = np.array([x0, y0, x0, y0, z0, z0], np.int32)
+                    for e, bm in zip(patch_entries, flat):
+                        e["segmentation"] = dict(
+                            box=bm["box"] + shift,
+                            mask=bm["mask"],
+                            shape=(d, h, w),
+                        )
+                entries.extend(patch_entries)
 
     merged = merge_patch_detections(entries, merge_thr)
-    # back to per-class xyxyzz+score arrays
+    # back to per-class xyxyzz+score arrays (+ aligned segm carriers)
     out = [[] for _ in range(model.num_classes - 1)]
+    segms = [[] for _ in range(model.num_classes - 1)]
     for e in merged:
         b = e["bbox"]
         out[e["category_id"] - 1].append(
@@ -126,6 +157,11 @@ def tiled_inference(
                 e["score"],
             ]
         )
-    return [
+        if "segmentation" in e:
+            segms[e["category_id"] - 1].append(e["segmentation"])
+    per_class = [
         np.asarray(x, np.float32).reshape(-1, 7) for x in out
     ]
+    if with_masks:
+        return per_class, segms
+    return per_class

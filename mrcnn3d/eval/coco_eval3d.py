@@ -133,7 +133,15 @@ class CocoEval3D:
 
     @staticmethod
     def _dt_mask(d):
-        return np.asarray(d["segmentation"])
+        seg = d["segmentation"]
+        if isinstance(seg, dict):
+            # compact box-mask carrier from the tiled driver: paste into
+            # the full frame lazily (reference keeps patch masks +
+            # segm_pos_* placement the same way, coco_utils.py:416-477)
+            from .masks import paste_mask_3d
+
+            return paste_mask_3d(seg["box"], seg["mask"], seg["shape"])
+        return np.asarray(seg)
 
     def _gt_mask(self, g):
         """gt `segmentation` is either an in-memory volume or a reference-

@@ -24,6 +24,71 @@ def _trilinear_resize(vol, out_shape):
     )[..., 0]
 
 
+def get_box_masks_3d(
+    mask_logits,
+    det_bboxes,
+    det_labels,
+    det_valid,
+    mask_thr_binary=0.25,
+    scale_factor=1.0,
+):
+    """Per-detection box-extent masks (no full-volume paste).
+
+    Same resize+threshold semantics as the reference get_seg_masks
+    (fcn_mask_head_3d.py:126-191) but stops before the paste, returning
+    for each valid detection i a dict with:
+      label: 1-based class id
+      box:   int32 [x0, y0, x1, y1, z0, z1] in the (scaled) output frame
+      mask:  (d, h, w) uint8, d/h/w = +1 box extents
+    Compact (box-sized, not volume-sized) — the right carrier for the
+    whole-volume tiler, where detections must travel through coordinate
+    translation and merge NMS before any paste.
+    """
+    probs = _sigmoid(np.asarray(mask_logits, np.float32))
+    boxes = np.asarray(det_bboxes)[:, :6]
+    labels = np.asarray(det_labels) + 1
+    valid = np.asarray(det_valid).astype(bool)
+
+    out = []
+    for i in range(boxes.shape[0]):
+        if not valid[i]:
+            continue
+        bbox = (boxes[i] / scale_factor).astype(np.int32)
+        label = int(labels[i])
+        w = max(bbox[2] - bbox[0] + 1, 1)
+        h = max(bbox[3] - bbox[1] + 1, 1)
+        d = max(bbox[5] - bbox[4] + 1, 1)
+        mask = probs[i, label]
+        bbox_mask = (
+            _trilinear_resize(mask, (d, h, w)) > mask_thr_binary
+        ).astype(np.uint8)
+        out.append(dict(index=i, label=label,
+                        box=bbox.astype(np.int32), mask=bbox_mask))
+    return out
+
+
+def paste_mask_3d(box, mask, vol_shape):
+    """Paste one box-extent mask into a zeroed (D, H, W) uint8 volume.
+
+    box: int [x0, y0, x1, y1, z0, z1]; paste region clamped to extents
+    (reference fcn_mask_head_3d.py paste semantics).
+    """
+    img_d, img_h, img_w = vol_shape
+    x0 = max(int(box[0]), 0)
+    y0 = max(int(box[1]), 0)
+    z0 = max(int(box[4]), 0)
+    d, h, w = mask.shape
+    im_mask = np.zeros((img_d, img_h, img_w), np.uint8)
+    z1 = min(z0 + d, img_d)
+    y1 = min(y0 + h, img_h)
+    x1 = min(x0 + w, img_w)
+    if z1 > z0 and y1 > y0 and x1 > x0:
+        im_mask[z0:z1, y0:y1, x0:x1] = mask[
+            : z1 - z0, : y1 - y0, : x1 - x0
+        ]
+    return im_mask
+
+
 def get_seg_masks_3d(
     mask_logits,
     det_bboxes,
@@ -40,36 +105,14 @@ def get_seg_masks_3d(
     Returns per-class lists of (D, H, W) uint8 volumes (classes 1..C-1).
     """
     img_h, img_w, img_d = ori_shape[0], ori_shape[1], ori_shape[2]
-    probs = _sigmoid(np.asarray(mask_logits, np.float32))
-    boxes = np.asarray(det_bboxes)[:, :6]
-    labels = np.asarray(det_labels) + 1
-    valid = np.asarray(det_valid).astype(bool)
-
     cls_segms = [[] for _ in range(num_classes - 1)]
-    for i in range(boxes.shape[0]):
-        if not valid[i]:
-            continue
-        bbox = (boxes[i] / scale_factor).astype(np.int32)
-        label = int(labels[i])
-        w = max(bbox[2] - bbox[0] + 1, 1)
-        h = max(bbox[3] - bbox[1] + 1, 1)
-        d = max(bbox[5] - bbox[4] + 1, 1)
-        # clamp paste region to volume extents
-        x0 = max(bbox[0], 0)
-        y0 = max(bbox[1], 0)
-        z0 = max(bbox[4], 0)
-        mask = probs[i, label]
-        im_mask = np.zeros((img_d, img_h, img_w), np.uint8)
-        bbox_mask = (
-            _trilinear_resize(mask, (d, h, w)) > mask_thr_binary
-        ).astype(np.uint8)
-        z1 = min(z0 + d, img_d)
-        y1 = min(y0 + h, img_h)
-        x1 = min(x0 + w, img_w)
-        im_mask[z0:z1, y0:y1, x0:x1] = bbox_mask[
-            : z1 - z0, : y1 - y0, : x1 - x0
-        ]
-        cls_segms[label - 1].append(im_mask)
+    for bm in get_box_masks_3d(
+        mask_logits, det_bboxes, det_labels, det_valid,
+        mask_thr_binary, scale_factor,
+    ):
+        cls_segms[bm["label"] - 1].append(
+            paste_mask_3d(bm["box"], bm["mask"], (img_d, img_h, img_w))
+        )
     return cls_segms
 
 

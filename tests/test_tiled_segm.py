@@ -1,0 +1,156 @@
+"""Segm carry through the on-the-fly tiled driver.
+
+Parity target: the patch-DATASET segm path (apis/test_api.py
+run_inference + eval.masks.get_seg_masks_3d), which mirrors the
+reference segm2json3D (coco_utils.py:416-477).  The tiler must carry
+each surviving detection's mask through patch->volume translation and
+the global merge NMS, landing voxel-identical with a direct
+whole-patch mask paste.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mrcnn3d.utils.config import Config
+
+
+@pytest.fixture(scope="module")
+def tiny_mask_model():
+    cfg = Config.fromfile("configs/mask_rcnn_3d_2scales.py")
+    cfg.model["type"] = "MaskRCNN3D"
+    for k in ("rpn_head_2", "refinement_head", "refinement_mask_head"):
+        cfg.model.pop(k, None)
+    cfg.model["backbone"]["depth"] = 18
+    cfg.model["neck"]["out_channels"] = 32
+    cfg.model["rpn_head"]["in_channels"] = 32
+    cfg.model["rpn_head"]["feat_channels"] = 32
+    cfg.model["bbox_head"]["fc_out_channels"] = 64
+    cfg.model["bbox_head"]["in_channels"] = 32
+    cfg.model["bbox_roi_extractor"]["out_channels"] = 32
+    cfg.model["mask_roi_extractor"]["out_channels"] = 32
+    cfg.model["mask_head"]["conv_out_channels"] = 32
+    cfg.model["mask_head"]["in_channels"] = 32
+    for k in ("nms_pre", "nms_post", "max_num"):
+        cfg.test_cfg["rpn"][k] = 16
+    cfg.test_cfg["rcnn"]["max_per_img"] = 16
+    cfg.test_cfg["rcnn"]["score_thr"] = 0.01
+    cfg.test_cfg["return_bbox_only"] = False
+
+    from mrcnn3d.detectors.build import build_detector
+
+    model = build_detector(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 32, 32, 3))
+    )
+    return cfg, model, variables
+
+
+def test_tiled_single_tile_matches_direct(tiny_mask_model):
+    """One tile covering the volume: tiled segms == direct mask paste."""
+    cfg, model, variables = tiny_mask_model
+    from mrcnn3d.apis.test_api import InferenceRunner
+    from mrcnn3d.apis.tiled import tiled_inference
+    from mrcnn3d.detectors import pipeline as pl
+    from mrcnn3d.eval.masks import get_seg_masks_3d, paste_mask_3d
+
+    vol = np.random.RandomState(1).randn(16, 32, 32, 3).astype(np.float32)
+    per_class, segms = tiled_inference(
+        cfg, model, variables, dict(imgs=vol),
+        patch_hw=32, patch_d=16,
+    )
+
+    out = InferenceRunner(cfg, model, variables)(dict(imgs=vol))
+    dets, labels, valid, mask_logits = out
+    direct_per_class = pl.bbox2result3d(dets, labels, valid, model.num_classes)
+    direct_segms = get_seg_masks_3d(
+        mask_logits, dets, labels, valid, model.num_classes,
+        (32, 32, 16), cfg.test_cfg["rcnn"].get("mask_thr_binary", 0.25),
+    )
+
+    any_det = False
+    for c in range(model.num_classes - 1):
+        assert len(segms[c]) == len(per_class[c])
+        # merge NMS may drop overlapping detections: every tiled
+        # survivor must match a direct detection's box AND mask
+        for det, seg in zip(per_class[c], segms[c]):
+            any_det = True
+            diffs = np.abs(direct_per_class[c][:, :6] - det[:6]).sum(1)
+            j = int(np.argmin(diffs))
+            assert diffs[j] < 1e-3
+            pasted = paste_mask_3d(seg["box"], seg["mask"], seg["shape"])
+            np.testing.assert_array_equal(pasted, direct_segms[c][j])
+    assert any_det, "random-weight model produced no detections"
+
+
+def test_tiled_offset_masks_land_in_global_frame(tiny_mask_model):
+    """Multi-tile sweep: pasted masks stay inside their global det box."""
+    cfg, model, variables = tiny_mask_model
+    from mrcnn3d.apis.tiled import tiled_inference
+    from mrcnn3d.eval.masks import paste_mask_3d
+
+    vol = np.random.RandomState(2).randn(16, 64, 64, 3).astype(np.float32)
+    per_class, segms = tiled_inference(
+        cfg, model, variables, dict(imgs=vol),
+        patch_hw=32, patch_d=16, overlap=0.5,
+    )
+    d, h, w = 16, 64, 64
+    checked = 0
+    for c in range(model.num_classes - 1):
+        for det, seg in zip(per_class[c], segms[c]):
+            assert seg["shape"] == (d, h, w)
+            pasted = paste_mask_3d(seg["box"], seg["mask"], seg["shape"])
+            if not pasted.any():
+                continue
+            zz, yy, xx = np.nonzero(pasted)
+            x0, y0, x1, y1, z0, z1 = det[:6]
+            assert xx.min() >= np.floor(x0) and xx.max() <= np.ceil(x1) + 1
+            assert yy.min() >= np.floor(y0) and yy.max() <= np.ceil(y1) + 1
+            assert zz.min() >= np.floor(z0) and zz.max() <= np.ceil(z1) + 1
+            checked += 1
+    assert checked > 0, "no nonzero masks to check"
+
+
+def test_cocoeval_accepts_dict_segmentation(tiny_mask_model):
+    """The evaluator scores compact {box, mask, shape} dt masks."""
+    cfg, model, variables = tiny_mask_model
+    from mrcnn3d.apis.tiled import tiled_inference
+    from mrcnn3d.eval.coco_eval3d import CocoEval3D
+    from mrcnn3d.eval.masks import paste_mask_3d
+
+    vol = np.random.RandomState(3).randn(16, 32, 32, 3).astype(np.float32)
+    per_class, segms = tiled_inference(
+        cfg, model, variables, dict(imgs=vol), patch_hw=32, patch_d=16,
+    )
+    entries, gt_anns = [], []
+    for c in range(model.num_classes - 1):
+        for det, seg in zip(per_class[c], segms[c]):
+            entries.append(dict(
+                image_id=0, category_id=c + 1,
+                bbox=[float(det[0]), float(det[1]),
+                      float(det[2] - det[0] + 1),
+                      float(det[3] - det[1] + 1),
+                      float(det[4]), float(det[5] - det[4] + 1)],
+                score=float(det[6]), segmentation=seg,
+            ))
+    if not entries:
+        pytest.skip("no detections from random weights")
+    # gt = the first prediction's own pasted mask -> perfect match
+    e = entries[0]
+    gt_anns.append(dict(
+        id=1, image_id=0, category_id=e["category_id"],
+        bbox=e["bbox"],
+        segmentation=paste_mask_3d(
+            e["segmentation"]["box"], e["segmentation"]["mask"],
+            e["segmentation"]["shape"],
+        ),
+    ))
+    gt = dict(
+        images=[dict(id=0)],
+        annotations=gt_anns,
+        categories=[dict(id=c + 1) for c in range(model.num_classes - 1)],
+    )
+    ev = CocoEval3D(gt, entries, iou_type="segm")
+    stats = ev.named_stats(prefix="segm")
+    key = [k for k in stats if "AP" in k or "ap" in k]
+    assert stats[key[0]] > 0.99 if key else True
