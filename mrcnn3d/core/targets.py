@@ -100,15 +100,38 @@ class SampleResult(NamedTuple):
     neg_count: jnp.ndarray  # () int32
 
 
-def random_sample(key, assigned, num, pos_fraction):
-    """RandomSampler with reference semantics, static shapes.
+def _unique_compact(draws, valid, sentinel):
+    """torch `.unique()` of a masked draw array, static shapes.
 
-    Above-quota classes are sampled WITH replacement (reference
-    random_sampler.py:36-39 uses np.random.randint); below quota, all
-    candidates are taken in ascending index order (torch.nonzero order).
-    The reference dedups negative indices afterwards (base_sampler.py:163
-    `.unique()`); we keep duplicates — a documented statistical divergence
-    that only marginally perturbs loss normalisation.
+    draws: (K,) int32; valid: (K,) bool — invalid slots are ignored.
+    Returns (inds (K,), mask (K,), count ()) with the DISTINCT valid
+    values sorted ascending first (torch.unique returns sorted values),
+    masked-out slots zeroed.
+    """
+    k = draws.shape[0]
+    x = jnp.where(valid, draws, sentinel)
+    sx = jnp.sort(x)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sx[1:] != sx[:-1]]
+    ) & (sx < sentinel)
+    perm = jnp.argsort(~first, stable=True)
+    out = sx[perm].astype(jnp.int32)
+    count = jnp.sum(first)
+    mask = jnp.arange(k) < count
+    return jnp.where(mask, out, 0), mask, count
+
+
+def random_sample(key, assigned, num, pos_fraction):
+    """RandomSampler with exact reference semantics, static shapes.
+
+    Above-quota classes draw WITH replacement (reference
+    random_sampler.py:36-39 np.random.randint) and are then deduped and
+    sorted (base_sampler.py `.unique()` on both pos_inds and neg_inds),
+    so the realised count can fall below quota — and the negative quota
+    itself is `num - num_sampled_pos` with the DEDUPED positive count
+    (base_sampler.py:77-79).  Below quota, all candidates are taken in
+    ascending index order (torch.nonzero order).  The in-jit dedup is a
+    sort + first-occurrence compaction (`_unique_compact`).
 
     Returns SampleResult with P = round(num * pos_fraction), Q = num.
     """
@@ -119,6 +142,7 @@ def random_sample(key, assigned, num, pos_fraction):
     is_neg = assigned == 0
     n_pos = jnp.sum(is_pos)
     n_neg = jnp.sum(is_neg)
+    n_all = assigned.shape[0]
 
     def take(order, k):
         # order[:k], zero-padded when fewer candidates than slots exist
@@ -132,26 +156,35 @@ def random_sample(key, assigned, num, pos_fraction):
     r = jax.random.randint(
         kp, (num_expected_pos,), 0, jnp.maximum(n_pos, 1)
     )
-    pos_sampled = pos_order[jnp.clip(r, 0, pos_order.shape[0] - 1)]
+    pos_draws = pos_order[jnp.clip(r, 0, pos_order.shape[0] - 1)]
+    pos_uniq, pos_uniq_mask, pos_uniq_cnt = _unique_compact(
+        pos_draws, jnp.ones((num_expected_pos,), bool), n_all
+    )
     pos_seq = take(pos_order, num_expected_pos)
     over = n_pos > num_expected_pos
-    pos_inds = jnp.where(over, pos_sampled, pos_seq)
+    pos_inds = jnp.where(over, pos_uniq, pos_seq)
     pos_mask = jnp.where(
-        over, True, jnp.arange(num_expected_pos) < n_pos
+        over, pos_uniq_mask, jnp.arange(num_expected_pos) < n_pos
     )
-    pos_count = jnp.minimum(n_pos, num_expected_pos)
+    pos_count = jnp.where(over, pos_uniq_cnt, n_pos)
 
     num_expected_neg = num - pos_count  # dynamic scalar, bounded by num
     neg_order = jnp.argsort(~is_neg, stable=True).astype(jnp.int32)
+    # draw `num` iid ints and treat the first num_expected_neg as the
+    # reference's dynamic-size draw (an iid prefix IS that draw)
     rn = jax.random.randint(kn, (num,), 0, jnp.maximum(n_neg, 1))
-    over_n = n_neg > num_expected_neg
-    neg_inds = jnp.where(
-        over_n,
-        neg_order[jnp.clip(rn, 0, neg_order.shape[0] - 1)],
-        take(neg_order, num),
+    neg_draws = neg_order[jnp.clip(rn, 0, neg_order.shape[0] - 1)]
+    draw_valid = jnp.arange(num) < num_expected_neg
+    neg_uniq, neg_uniq_mask, neg_uniq_cnt = _unique_compact(
+        neg_draws, draw_valid, n_all
     )
-    neg_count = jnp.minimum(n_neg, num_expected_neg)
-    neg_mask = jnp.arange(num) < neg_count
+    over_n = n_neg > num_expected_neg
+    under_cnt = jnp.minimum(n_neg, num_expected_neg)
+    neg_inds = jnp.where(over_n, neg_uniq, take(neg_order, num))
+    neg_count = jnp.where(over_n, neg_uniq_cnt, under_cnt)
+    neg_mask = jnp.where(
+        over_n, neg_uniq_mask, jnp.arange(num) < under_cnt
+    )
 
     return SampleResult(
         pos_inds, pos_mask, neg_inds, neg_mask, pos_count, neg_count

@@ -1,11 +1,12 @@
-"""Quantify the two documented parity divergences (VERDICT r2 item 7).
+"""Parity checks for the formerly-divergent sampler + mask-target paths.
 
-1. `random_sample` keeps duplicate negative indices where the reference
-   dedups them (`base_sampler.py:101 neg_inds.unique()` after
-   `random_sampler.py:36-39` draws WITH replacement via
-   np.random.randint).  The tests bound the duplicate-slot fraction and
-   its effect on a mean-reduced loss at the reference RCNN sampling
-   geometry (num=256, ~2000 proposals).
+1. `random_sample` now reproduces the reference's exact semantics:
+   above-quota draws WITH replacement (`random_sampler.py:36-39`
+   np.random.randint) followed by `.unique()` (base_sampler.py — sorted,
+   deduped, realised count below quota), with the negative quota set by
+   the DEDUPED positive count.  The tests assert uniqueness/order and
+   match the realised-count distribution against the closed-form
+   expected distinct count of a with-replacement draw.
 
 2. `mask_target_single` approximates the reference's per-proposal CPU
    resize (`mask_target.py:41-44`: skimage.transform.resize -> *255 ->
@@ -37,49 +38,65 @@ def _sample_geometry(n_prop=2000, n_pos=8, num=256, pos_fraction=0.25):
     return jnp.asarray(assigned), num, pos_fraction
 
 
-def test_sampler_duplicate_fraction_bounded():
-    """Duplicate negative slots stay a small minority of the batch.
-
-    With q draws (with replacement) from n candidates the expected
-    duplicate fraction is ~q/(2n); at the reference geometry
-    (q=248 negatives from ~1992 candidates) that is ~6%.  Measured
-    empirically over 100 keys and asserted < 10%.
-    """
+def test_sampler_negatives_unique_sorted_from_pool():
+    """Reference parity: sampled negatives are deduped and sorted
+    (torch `.unique()` returns sorted distinct values) and drawn from
+    the negative pool only."""
     assigned, num, pf = _sample_geometry()
-    frac = []
-    sample = jax.jit(
-        lambda k: random_sample(k, assigned, num, pf),
-        static_argnums=(),
-    )
-    for seed in range(100):
+    assigned_np = np.asarray(assigned)
+    sample = jax.jit(lambda k: random_sample(k, assigned, num, pf))
+    for seed in range(50):
         res = sample(jax.random.PRNGKey(seed))
         neg = np.asarray(res.neg_inds)[np.asarray(res.neg_mask)]
-        frac.append(1.0 - len(np.unique(neg)) / max(len(neg), 1))
-    mean_frac = float(np.mean(frac))
-    # ~q/(2n) theoretical collision rate; fail loudly if sampling ever
-    # degenerates (e.g. constant index) — that would push this to ~1.
-    assert 0.0 < mean_frac < 0.10, mean_frac
+        assert len(neg) == int(res.neg_count)
+        assert np.all(np.diff(neg) > 0), "negatives not unique+sorted"
+        assert np.all(assigned_np[neg] == 0), "non-negative index sampled"
+        pos = np.asarray(res.pos_inds)[np.asarray(res.pos_mask)]
+        assert np.all(np.diff(pos) > 0) if len(pos) > 1 else True
+        assert np.all(assigned_np[pos] > 0)
 
 
-def test_sampler_dup_vs_dedup_loss_effect():
-    """Effect of kept duplicates on a mean-reduced per-sample loss.
-
-    The reference averages the negative loss over the deduped index set;
-    we average over the slot set (duplicates double-weighted).  Both are
-    unbiased estimates of the pool mean; over 100 keys the mean absolute
-    relative difference is ~0.5% and is asserted < 2%.
-    """
+def test_sampler_realised_count_matches_reference_distribution():
+    """The realised negative count matches the expected number of
+    DISTINCT values in a with-replacement draw: E = n(1-(1-1/n)^q)
+    (reference randint + .unique()).  At the reference geometry
+    (q=248 draws from n=1992 candidates) E ~= 233; the empirical mean
+    over 100 keys must sit within +-3 of it, and below quota whp."""
     assigned, num, pf = _sample_geometry()
-    rng = np.random.RandomState(0)
-    losses = rng.rand(int(assigned.shape[0])).astype(np.float64)
-    rels = []
-    for seed in range(100):
-        res = random_sample(jax.random.PRNGKey(seed), assigned, num, pf)
-        neg = np.asarray(res.neg_inds)[np.asarray(res.neg_mask)]
-        ours = losses[neg].mean()
-        ref = losses[np.unique(neg)].mean()
-        rels.append(abs(ours - ref) / ref)
-    assert float(np.mean(rels)) < 0.02, np.mean(rels)
+    n_pos = int(np.sum(np.asarray(assigned) > 0))
+    n_neg = int(np.sum(np.asarray(assigned) == 0))
+    # negative quota = num - realised pos count (all 8 positives taken:
+    # below the 64 quota, no dedup)
+    q = num - min(n_pos, int(round(num * pf)))
+    expect = n_neg * (1.0 - (1.0 - 1.0 / n_neg) ** q)
+    sample = jax.jit(lambda k: random_sample(k, assigned, num, pf))
+    counts = [
+        int(sample(jax.random.PRNGKey(seed)).neg_count)
+        for seed in range(100)
+    ]
+    mean = float(np.mean(counts))
+    assert abs(mean - expect) < 3.0, (mean, expect)
+    assert max(counts) <= q
+
+
+def test_sampler_neg_quota_uses_deduped_pos_count():
+    """base_sampler.py:77-79: num_expected_neg = num - num_sampled_pos
+    with the DEDUPED positive count — when positives collide, negatives
+    get the freed slots."""
+    n_prop, num, pf = 2000, 256, 0.25
+    assigned = np.zeros(n_prop, np.int32)
+    assigned[:100] = 1  # 100 positives > quota 64 -> draws collide
+    assigned = jnp.asarray(assigned)
+    sample = jax.jit(lambda k: random_sample(k, assigned, num, pf))
+    saw_extra = False
+    for seed in range(50):
+        res = sample(jax.random.PRNGKey(seed))
+        pc, nc = int(res.pos_count), int(res.neg_count)
+        assert pc <= 64
+        assert nc <= num - pc
+        if pc < 64 and nc > num - 64 - 25:
+            saw_extra = True  # negatives spilled into freed pos slots
+    assert saw_extra
 
 
 # ---------------------------------------------------------------------------
