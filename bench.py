@@ -164,7 +164,9 @@ def main():
     jax.block_until_ready(dets)
 
     # per-iter timing + median: wall-clock means were moving 0.11-0.19 s
-    # across runs (remote-execution jitter); the median is stable
+    # across runs (remote-execution jitter); the median is stable.
+    # Spread (IQR + min/max) is recorded on the JSON line so BENCH_r*
+    # numbers carry their own error bars (VERDICT r3 item 3).
     def timed(fn, iters):
         ts = []
         for i in range(iters):
@@ -172,9 +174,14 @@ def main():
             out = fn(i)
             jax.block_until_ready(out)
             ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+        q1, q3 = np.percentile(ts, [25, 75])
+        return float(np.median(ts)), {
+            "iqr_s": round(float(q3 - q1), 4),
+            "min_s": round(float(np.min(ts)), 4),
+            "max_s": round(float(np.max(ts)), 4),
+        }
 
-    dt = timed(
+    dt, dt_spread = timed(
         lambda i: infer(
             jax.random.fold_in(jax.random.PRNGKey(2), i), base1, base2
         ),
@@ -208,7 +215,7 @@ def main():
     dd, vv, mm = infer_segm(jax.random.PRNGKey(4), base1, base2)
     jax.block_until_ready(mm)
     segm_dets = int(jnp.sum(vv))
-    segm_dt = timed(
+    segm_dt, segm_spread = timed(
         lambda i: infer_segm(
             jax.random.fold_in(jax.random.PRNGKey(5), i),
             base1,
@@ -292,6 +299,12 @@ def main():
         jax.block_until_ready(state.params)
         ts.append(time.perf_counter() - t0)
     train_dt = float(np.median(ts))
+    tq1, tq3 = np.percentile(ts, [25, 75])
+    train_spread = {
+        "iqr_s": round(float(tq3 - tq1), 4),
+        "min_s": round(float(np.min(ts)), 4),
+        "max_s": round(float(np.max(ts)), 4),
+    }
     mfu_train = (
         train_flops / train_dt / PEAK_FLOPS if train_flops else None
     )
@@ -357,10 +370,13 @@ def main():
         "unit": "volumes/sec/chip",
         "vs_baseline": round(vs, 4),
         "infer_segm_step_s": round(segm_dt, 4),
+        "segm_spread": segm_spread,
         "segm_dets": segm_dets,
         "infer_bbox_step_s": round(dt, 4),
+        "bbox_spread": dt_spread,
         "bbox_vols_per_s": round(value, 4),
         "train_step_s": round(train_dt, 4),
+        "train_spread": train_spread,
         "train_batch": tb,
         "train_vols_per_s": round(tb / train_dt, 4),
         "wholevol_fwd_s": round(wv_dt, 4),

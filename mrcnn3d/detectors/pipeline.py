@@ -823,16 +823,21 @@ def _use_xfirst(feats, roi_cfg):
     """Pick the cheaper inference align per call site: corner-gather vs
     the x-first separable-einsum path (multi_level_roi_align_3d_xfirst).
 
-    Cost model calibrated on v5e (PROFILE.md r3):
-      * gather: ~29 ns per 512-lane packed row, out_vox*sn^3 rows/roi
-        (922 ms at 2000 rois x mask geometry on 512x512x64 features)
-      * xfirst: HBM-bound on the (out, D, H, C) finest-level t1
-        intermediate at ~200 GB/s write+read (154 ms, same workload)
-    The crossover: xfirst wins for the mask stage (out 14x14x10 =
-    1960 voxels/roi makes the gather row count huge) and loses for the
-    bbox/refinement stages (out 7x7x3 = 147) — measured +115 ms on the
-    1.5x pathway when xfirst was forced there.  Single-volume only;
-    opt out via roi_layer.use_xfirst_infer=False.
+    Cost model calibrated on v5e against the round-4 tools/bench_ops.py
+    shootout at 2000 rois (PROFILE.md):
+      * gather: ~29 ns per 512-lane packed row, out_vox*sn^3 rows/roi —
+        predicts 68/909 ms at bbox/mask geometry vs measured 75/925 ms
+      * xfirst: scales with the finest-level (out, D, H, C) contraction
+        at ~270 GB/s effective — predicts 55/110 ms at bbox/mask
+        geometry on (32, 128, 128, 64) 1.0x features vs measured
+        55/~154 ms
+    Crossovers at the product geometries: xfirst wins BOTH the mask
+    stage (14x14x10: 55 vs 455 us/roi) and the 1.0x bbox/refinement
+    stages (7x7x3: 27 vs 34 us/roi — measured 55 vs 75 ms at 2000
+    rois); gather keeps the 1.5x pathway (48x192 level-0 features tip
+    xfirst to ~62 us/roi, and forcing xfirst there measured +115 ms in
+    round 3).  Single-volume only; opt out via
+    roi_layer.use_xfirst_infer=False.
     """
     layer = roi_cfg.get("roi_layer", {}) if roi_cfg else {}
     if not (
@@ -848,7 +853,7 @@ def _use_xfirst(feats, roi_cfg):
     gather_per_roi = out * out * out_d * sn**3 * 29e-9
     d0, h0 = int(feats[0].shape[1]), int(feats[0].shape[2])
     c = int(feats[0].shape[-1])
-    xfirst_per_roi = out * d0 * h0 * c * 4 / 2e11
+    xfirst_per_roi = out * d0 * h0 * c * 4 / 2.7e11
     return xfirst_per_roi < gather_per_roi
 
 

@@ -176,9 +176,12 @@ def main():
         bench(
             f"mlroi xfirst {tag} ({m} rois)",
             jax.jit(
-                lambda f, o=osz, z=odz: multi_level_roi_align_3d_xfirst(
+                # chunked as in the product path: the unchunked (m, out,
+                # D, H, C) t1 intermediate OOMs HBM at mask geometry
+                lambda f, o=osz, z=odz:
+                multi_level_roi_align_3d_xfirst_chunked(
                     list(f), mrois, o, z, strides, dstrides, 2,
-                    valid=mvalid,
+                    valid=mvalid, chunk=256,
                 )
             ),
             [(tuple(lv),)],
