@@ -186,28 +186,71 @@ def train_detector(cfg, dataset, work_dir=None, seed=0, validate=False,
         )
 
         # per-host data sharding (reference DistributedGroupSampler role):
-        # each process loads its own deterministic shard of every epoch
+        # each process loads its own deterministic shard of every epoch,
+        # sized batch/world; globalize_batch assembles the global
+        # 'data'-sharded arrays from the local rows before the step
         rank, world = jax.process_index(), jax.process_count()
+        per_host_bs = batch_size
+        if world > 1:
+            assert mesh is not None, "multi-process training needs a mesh"
+            assert batch_size % world == 0, (batch_size, world)
+            per_host_bs = batch_size // world
+            # pjit inputs must be GLOBAL arrays in multi-process runs:
+            # lift the (identical per-host, same init seed) state into
+            # replicated global arrays once; step_rng below likewise
+            from ..parallel.mesh import replicated
+
+            rep = replicated(mesh)
+            state = jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    rep, np.asarray(x)
+                ),
+                state,
+            )
 
         it = int(state.step)
         t_start = time.time()
         t_last = t_start
         profiling = False
+        multiproc_compiled = False
         for epoch in range(it // iters_per_epoch, total_epochs):
             loader = Prefetcher(
-                dataset, batch_size, epoch=epoch, shuffle=True, seed=seed,
-                rank=rank, world=world,
+                dataset, per_host_bs, epoch=epoch, shuffle=True,
+                seed=seed, rank=rank, world=world,
                 num_workers=cfg.data.get("workers_per_gpu", 4),
                 mode=cfg.data.get("loader_mode", "thread"),
+                device_put=(world == 1),
             )
             for batch in loader:
                 batch.pop("img_info", None)
+                if world > 1:
+                    from ..parallel.mesh import globalize_batch
+
+                    batch = globalize_batch(mesh, batch)
                 if profile_steps and it == profile_steps[0] and not profiling:
                     jax.profiler.start_trace(
                         str(work_dir) + "/profile"
                     )
                     profiling = True
                 rng, step_rng = jax.random.split(rng)
+                if world > 1:
+                    step_rng = jax.make_array_from_process_local_data(
+                        rep, np.asarray(step_rng)
+                    )
+                    if not multiproc_compiled:
+                        # compile BEFORE touching the collectives, then
+                        # align hosts: Gloo's context handshake times
+                        # out at ~30 s but cold compiles skew by
+                        # minutes.  Swap in the compiled executable —
+                        # .lower().compile() does not seed the jit
+                        # dispatch cache, and shapes are static anyway.
+                        from ..parallel.mesh import process_barrier
+
+                        step_fn = step_fn.lower(
+                            state, batch, step_rng
+                        ).compile()
+                        process_barrier("mrcnn3d_train_compiled")
+                        multiproc_compiled = True
                 state, metrics = step_fn(state, batch, step_rng)
                 it += 1
                 if profiling and it >= profile_steps[1]:

@@ -124,7 +124,10 @@ class Coco3DDataset:
         masks = self._load_masks(anns) if self.with_mask else None
 
         if self.crop is not None:
-            vol, boxes, labels, masks = self.crop(vol, boxes, labels, masks)
+            out = self.crop(vol, boxes, labels, masks)
+            if out is None:  # no crop satisfies containment: retry idx
+                return None
+            vol, boxes, labels, masks = out
 
         img = normalize_volume(
             vol, self.img_norm_cfg["mean"], self.img_norm_cfg["std"]
@@ -215,6 +218,8 @@ class Coco3D2ScalesDataset(Coco3DDataset):
 
     def prepare_train(self, idx):
         sample = super().prepare_train(idx)
+        if sample is None:  # crop rejected the sample: retry idx
+            return None
         up = self.upscale_factor
         img = sample["imgs"]  # (D, H, W, 3) normalised
         d, h, w, _ = img.shape
@@ -291,6 +296,8 @@ class Coco3D3ScalesDataset(Coco3D2ScalesDataset):
 
     def prepare_train(self, idx):
         sample = super().prepare_train(idx)
+        if sample is None:  # crop rejected the sample: retry idx
+            return None
         up = self.upscale_factor**2
         img = sample["imgs"]
         d, h, w, _ = img.shape

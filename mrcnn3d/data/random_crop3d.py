@@ -61,7 +61,12 @@ class RandomCrop3D:
         new_w, new_h, new_d = int(w / 4), int(h / 4), d
         boxes = np.asarray(boxes, np.float32)
 
-        while True:
+        # the reference loops unbounded (extra_aug.py:163 while True);
+        # on data where no gt box fits the quarter-crop that is an
+        # infinite hang inside a loader worker.  Bound the attempts and
+        # signal failure with None — CustomDataset.__getitem__ retries
+        # a different index (the reference-parity retry loop).
+        for _ in range(1000):
             min_iou = self.rng.choice(self.sample_mode)
             left = self._valid_corner(w, new_w, boxes[:, 0], boxes[:, 2])
             top = self._valid_corner(h, new_h, boxes[:, 1], boxes[:, 3])
@@ -97,6 +102,7 @@ class RandomCrop3D:
                     if keep
                 ]
             return img_out, final_boxes, final_labels, masks_out
+        return None
 
 
 class PhotoMetricDistortion3D:
@@ -144,5 +150,8 @@ class ExtraAugmentation3D:
 
     def __call__(self, img, boxes, labels, masks=None):
         for t in self.transforms:
-            img, boxes, labels, masks = t(img, boxes, labels, masks)
+            out = t(img, boxes, labels, masks)
+            if out is None:  # crop exhausted its attempts -> retry idx
+                return None
+            img, boxes, labels, masks = out
         return img, boxes, labels, masks

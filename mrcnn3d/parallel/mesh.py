@@ -54,3 +54,46 @@ def shard_batch(mesh: Mesh, batch):
     """Device-put a host batch pytree with batch-axis sharding."""
     ds = data_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, ds), batch)
+
+
+def process_barrier(name: str, timeout_ms: int = 600_000):
+    """Cross-process barrier over the coordination service (KV store).
+
+    Aligns hosts around COMPILE skew: the first train-step execution
+    initialises the CPU-collectives (Gloo) context with a ~30 s
+    rendezvous window, but a cold XLA compile of the step can take
+    minutes and finish at very different times across hosts — a fast
+    host then times out waiting for a still-compiling peer.  This
+    barrier rides the jax.distributed coordination service (no device
+    collectives), so it tolerates minutes of skew.  No-op when
+    jax.distributed was never initialised.
+    """
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+    except Exception:
+        return
+    if client is None:
+        return
+    client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
+
+def globalize_batch(mesh: Mesh, batch):
+    """Assemble per-host local batch shards into global jax.Arrays.
+
+    Multi-process DP (reference init_dist + DistributedGroupSampler,
+    mmdet/apis/env.py:13-50): every host loads its own rank-strided
+    shard of the global batch; the global array sharded on 'data' is
+    built from the local rows without any cross-host data movement
+    (each host's rows land on its own devices).  No-op single-process.
+    """
+    if jax.process_count() == 1:
+        return batch
+    ds = data_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            ds, np.asarray(x)
+        ),
+        batch,
+    )

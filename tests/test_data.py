@@ -51,6 +51,19 @@ def test_random_crop_keeps_boxes_inside():
     assert b[2] - b[0] == 6 and b[5] - b[4] == 4
 
 
+def test_random_crop_impossible_returns_none():
+    """A gt box larger than the quarter-crop can never satisfy
+    containment: the crop must give up (return None -> dataset retries
+    another index), not spin forever in a loader worker (the reference's
+    extra_aug.py:163 `while True` hangs on such data)."""
+    rng = np.random.RandomState(0)
+    img = rng.rand(64, 64, 16).astype(np.float32)
+    boxes = np.array([[2, 2, 50, 50, 2, 10]], np.float32)  # 49 > 16 crop
+    labels = np.array([1])
+    crop = RandomCrop3D(rng=np.random.RandomState(1))
+    assert crop(img, boxes, labels) is None
+
+
 def test_dataset_train_sample(synth):
     ann_file, img_dir = synth
     ds = Coco3DDataset(
