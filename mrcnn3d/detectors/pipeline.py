@@ -857,14 +857,26 @@ def _use_xfirst(feats, roi_cfg):
     return xfirst_per_roi < gather_per_roi
 
 
-def _xfirst_chunk(feats, roi_cfg):
-    """Roi chunk bounding the (m, out, D, H, C) finest-level
-    intermediate to ~1 GB."""
+def _xfirst_chunk(feats, roi_cfg, n=None):
+    """Roi chunk for the xfirst align.
+
+    When `n` (the roi count) is given and the FULL-budget (n, out, D,
+    H, C) finest-level intermediate estimate stays under ~8 GiB,
+    return n so the chunked wrapper falls through to ONE unchunked
+    call: XLA fuses the intermediate into the einsum chain and never
+    materializes it (bbox geometry: 7.3 GiB estimate compiles fine and
+    the fused program runs the 55 ms the standalone shootout measured,
+    where the 7-chunk lax.map regressed the bbox step 0.41->0.47 s).
+    Above the threshold (mask geometry: 14.6 GiB estimate, real OOM)
+    bound the live chunk intermediate to ~1 GB instead.
+    """
     layer = roi_cfg["roi_layer"]
     d0, h0 = int(feats[0].shape[1]), int(feats[0].shape[2])
     c = int(feats[0].shape[-1])
     bytes_ = jnp.dtype(feats[0].dtype).itemsize
     per_roi = int(layer.get("out_size", 7)) * d0 * h0 * c * bytes_
+    if n is not None and n * per_roi < (8 << 30):
+        return int(n)
     return max(32, min(512, (1 << 30) // max(per_roi, 1)))
 
 
@@ -881,7 +893,7 @@ def _roi_align_cfg(feats, rois, roi_cfg, valid=None, chunk=0,
             roi_cfg["featmap_strides_depth"],
             layer0["sample_num"],
             valid=valid,
-            chunk=_xfirst_chunk(feats, roi_cfg),
+            chunk=_xfirst_chunk(feats, roi_cfg, n=rois.shape[0]),
             flats=flats,
         )
     fn = multi_level_roi_align_3d
