@@ -346,6 +346,38 @@ def main():
     jax.block_until_ready(wv_out)
     wv_dt = (time.perf_counter() - t0) / 4
 
+    # ---- whole-volume config-3 END-TO-END (tiled detection+segm) ----
+    # BASELINE config 3 is whole-volume inference: the reference cuts
+    # 512^2x240 SWI volumes into overlapping patches, translates
+    # detections and carries patch masks to volume coordinates, then
+    # merge-NMSes globally (coco_utils.py:306-477).  apis/tiled.py is
+    # that driver; this measures one full volume through it (5 z-tiles
+    # of the 512^2x64 patch pair at 0.25 overlap), masks on.
+    from mrcnn3d.apis.tiled import tiled_inference
+
+    wv2 = jax.device_put(
+        jax.random.normal(
+            jax.random.PRNGKey(16),
+            (int(wv_d * 1.5), int(wv_h * 1.5), int(wv_w * 1.5), 3),
+            jnp.bfloat16,
+        )
+    )
+    wv_vol = {
+        "imgs": np.asarray(wv_base[0], np.float32),
+        "imgs_2": np.asarray(wv2, np.float32),
+    }
+    del wv2
+    t0 = time.perf_counter()
+    tiled_inference(
+        scfg, model, variables, wv_vol, patch_hw=wv_h, patch_d=d,
+    )
+    wv_e2e_cold = time.perf_counter() - t0  # includes patch compile reuse
+    t0 = time.perf_counter()
+    tiled_inference(
+        scfg, model, variables, wv_vol, patch_hw=wv_h, patch_d=d,
+    )
+    wv_e2e = time.perf_counter() - t0
+
     # headline = bbox+segm (BASELINE.md configs 2/3).  Previous rounds'
     # BENCH value was bbox-only; compare segm-vs-segm where a prior segm
     # number exists (r02 recorded the segm step only in ROADMAP.md:
@@ -380,6 +412,8 @@ def main():
         "train_batch": tb,
         "train_vols_per_s": round(tb / train_dt, 4),
         "wholevol_fwd_s": round(wv_dt, 4),
+        "wholevol_e2e_s": round(wv_e2e, 4),
+        "wholevol_e2e_cold_s": round(wv_e2e_cold, 4),
         "wholevol_geom": f"{wv_h}x{wv_w}x{wv_d}",
     }
     if mfu_infer is not None:

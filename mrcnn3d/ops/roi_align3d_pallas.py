@@ -1,18 +1,39 @@
-"""Pallas crop-based RoIAlign3D (single feature level, opt-in).
+"""Pallas crop-based RoIAlign3D (single feature level, inference path).
 
 The XLA gather formulation (ops/roi_align3d.py) fetches 8 corner values
-per sample point (~600k gathered elements per roi at the bbox-head
-geometry).  This kernel instead DMAs each roi's bounding window into VMEM
-once and evaluates the trilinear interpolation as three separable
-interpolation matmuls on the MXU — each needed voxel is read from HBM
-exactly once, and the arithmetic runs as dense dots instead of gathers.
+per sample point (~31M gathered rows at the mask geometry) and the
+x-first einsum formulation contracts the FULL feature plane per roi.
+This kernel instead DMAs each roi's bounding window into VMEM once and
+evaluates the trilinear interpolation as two-tap lerps — each needed
+voxel is read from HBM exactly once and the arithmetic touches exactly
+the 2 taps per axis that trilinear interpolation defines.
+
+v2 (round 4), rewritten from the round-3 kernel after the real-chip
+shootout measured it at 208 ms / 2000 rois (PROFILE.md):
+  * the window DMA is double-buffered — roi i+1's window streams in
+    while roi i computes (the old start->wait->compute serialised on
+    DMA latency);
+  * the interpolation is per-output two-tap lerps instead of dense
+    (S, max_len) matrices unrolled over the whole window axis (~40x
+    fewer VPU ops).  Mosaic only allows dynamic indexing on MAJOR
+    (non-minor-2) dims, so the wrapper pre-transposes features to
+    (B, W, H, D, C): the x and y taps then ride major dims, and the
+    z taps on the sublane (D) axis are evaluated as one vector-
+    weighted sublane reduction per output bin;
+  * per-roi tap indices and mask-folded fixed-point weights ride in an
+    (8, 128) SMEM block per grid step (scalar reads are the cheap
+    path);
+  * the sample-bin average folds into the kernel, so the output is
+    (out_d, out, out, C) directly — the old kernel materialised the
+    full sample tensor (4 GB at mask geometry / 2000 rois) to HBM.
 
 Semantics match `roi_align_3d` (CUDA-parity sample coordinates and edge
-rules) for every roi whose feature-space extent fits the static window
-(MAX_D, MAX_HW): samples outside the window clamp to the window edge, a
-documented divergence for degenerate oversized rois only.  Exactness for
-in-window rois is tested against the XLA op in interpreter mode and on
-hardware.
+rules, mmdet/ops/roi_align/src/roi_align_kernel.cu
+bilinear_interpolate_3d) for every roi whose feature-space extent fits
+the static window (MAX_D, MAX_HW): samples outside the window clamp to
+the window edge, a documented divergence for degenerate oversized rois
+only.  Exactness for in-window rois is tested against the XLA op in
+interpreter mode and on hardware (tests/test_roi_align3d.py).
 """
 from __future__ import annotations
 
@@ -26,100 +47,124 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .roi_align3d import _axis_samples
 
+# fixed-point scale for interpolation weights carried as int32 (2^-16
+# quantisation is far below the bf16 feature epsilon)
+_WSCALE = 65536.0
 
-def _interp_matrix(coords, dim, size):
-    """(S,) window-relative coords -> (S, size) two-tap interp matrix.
 
-    Implements the CUDA edge rules relative to the window: coords are
-    already clamped/validated by the caller; here low/high taps collapse
-    at the window edge exactly like the reference kernel's dim-1 clamp.
-    `dim` is the valid extent of data inside the window.
+def _make_kernel(sw, sh, sd, sn, maxw, maxh, maxd, zalign):
+    """Build the kernel for static geometry.
+
+    Window layout is (slot, maxw, maxh, maxd, C) — x and y taps are
+    dynamic MAJOR-dim indices; z rides the sublane dim and is handled
+    by a per-bin weight vector + sublane reduction.
+
+    Params layout per roi (int32), flattened into an (8, 128) block:
+    for each axis in (x, y, z): [low[s], wlow_fp[s], whigh_fp[s]] for
+    s in range(S_axis) — mask and the CUDA edge rule are folded into
+    the two weights by the wrapper.
     """
-    c = jnp.maximum(coords, 0.0)
-    low = jnp.floor(c).astype(jnp.int32)
-    at_edge = low >= dim - 1
-    low = jnp.where(at_edge, dim - 1, low)
-    high = jnp.where(at_edge, dim - 1, low + 1)
-    c = jnp.where(at_edge, low.astype(coords.dtype), c)
-    frac = c - low.astype(coords.dtype)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (coords.shape[0], size), 1)
-    # when low == high the two taps coincide and the weights sum to 1,
-    # so no special-casing is needed (also keeps all masks 32-bit for
-    # the Mosaic lowering: 1-bit minor-dim reshapes are unsupported)
-    eq_low = (cols == low[:, None]).astype(coords.dtype)
-    eq_high = (cols == high[:, None]).astype(coords.dtype)
-    return eq_low * (1.0 - frac)[:, None] + eq_high * frac[:, None]
+    ox, oy, oz = sw // sn, sh // sn, sd // sn
+    inv = 1.0 / _WSCALE
 
+    def kernel(
+        starts_ref, feats_ref, params_ref, out_ref, win, t1, t2, sems
+    ):
+        i = pl.program_id(0)
+        num = pl.num_programs(0)
 
-def _roi_align_kernel(
-    starts_ref,  # scalar-prefetch (N, 5) int32 [b, z0, y0, x0, active]
-    feats_ref,  # ANY (B, D, H, W, C)
-    tile_ref,  # (1, 8, 128) f32: rows 0-2 coords (z,y,x), 3-5 masks
-    out_ref,  # (1, Sd, Sh, Sw, C)
-    window,  # scratch (MAXD, MAXH, MAXW, C)
-    sem,
-):
-    i = pl.program_id(0)
-    b = starts_ref[i, 0]
-    z0 = starts_ref[i, 1]
-    y0 = starts_ref[i, 2]
-    # the wrapper aligns the W start to 8 (sublane tiling); the hint lets
-    # Mosaic prove the DMA slice is tile-aligned
-    x0 = pl.multiple_of(starts_ref[i, 3], 8)
-    maxd, maxh, maxw, c = window.shape
+        def dma(j, slot):
+            b = starts_ref[j, 0]
+            x0 = starts_ref[j, 1]
+            y0 = starts_ref[j, 2]
+            # D is the source's second-minor (sublane) dim: the wrapper
+            # aligns the window start to 8 so Mosaic can prove the DMA
+            # slice tile-aligned
+            z0 = pl.multiple_of(starts_ref[j, 3], zalign)
+            return pltpu.make_async_copy(
+                feats_ref.at[
+                    b, pl.ds(x0, maxw), pl.ds(y0, maxh), pl.ds(z0, maxd), :
+                ],
+                win.at[slot],
+                sems.at[slot],
+            )
 
-    # per-roi skip: rois assigned to another FPN level (or padding rois)
-    # pay neither the window DMA nor the interpolation — the caller
-    # masks the untouched output block away.  This is what makes the
-    # multi-level dispatch one-window-per-roi instead of num_levels
-    # windows per roi.
-    @pl.when(starts_ref[i, 4] != 0)
-    def _():
-        cp = pltpu.make_async_copy(
-            feats_ref.at[
-                b,
-                pl.ds(z0, maxd),
-                pl.ds(y0, maxh),
-                pl.ds(x0, maxw),
-                :,
-            ],
-            window,
-            sem,
-        )
-        cp.start()
-        cp.wait()
+        @pl.when(i == 0)
+        def _():
+            @pl.when(starts_ref[0, 4] != 0)
+            def _():
+                dma(0, 0).start()
 
-        sd = out_ref.shape[1]
-        sh = out_ref.shape[2]
-        sw = out_ref.shape[3]
-        zmat = _interp_matrix(tile_ref[0, 0, :sd], maxd, maxd)
-        ymat = _interp_matrix(tile_ref[0, 1, :sh], maxh, maxh)
-        xmat = _interp_matrix(tile_ref[0, 2, :sw], maxw, maxw)
-        zmat = zmat * tile_ref[0, 3, :sd][:, None]
-        ymat = ymat * tile_ref[0, 4, :sh][:, None]
-        xmat = xmat * tile_ref[0, 5, :sw][:, None]
+        # double buffer: roi i+1's window streams while roi i computes
+        @pl.when(i + 1 < num)
+        def _():
+            @pl.when(starts_ref[i + 1, 4] != 0)
+            def _():
+                dma(i + 1, (i + 1) % 2).start()
 
-        # separable contractions as unrolled weighted sums: Mosaic
-        # cannot shape-cast multi-dim vectors into matmul operands, and
-        # the per-roi tensors are small enough that the VPU handles
-        # this comfortably.  Contract the widest axis (W) first to
-        # minimise the peak VMEM footprint of the intermediates; the
-        # window stays bf16 and upcasts slice-by-slice (a full f32 copy
-        # would blow the VMEM budget).
-        w = window[...]
-        c_dim = w.shape[3]
-        t1 = jnp.zeros(w.shape[:2] + (sw, c_dim), jnp.float32)
-        for wx in range(maxw):
-            t1 = t1 + xmat[:, wx][None, None, :, None] * w[:, :, wx][
-                :, :, None
-            ].astype(jnp.float32)
-        t2 = jnp.zeros((w.shape[0], sh, sw, c_dim), jnp.float32)
-        for hy in range(maxh):
-            t2 = t2 + ymat[:, hy][None, :, None, None] * t1[:, hy][:, None]
-        t3 = jnp.zeros((sd, sh, sw, c_dim), jnp.float32)
-        for dz in range(maxd):
-            t3 = t3 + zmat[:, dz][:, None, None, None] * t2[dz][None]
-        out_ref[0] = t3.astype(out_ref.dtype)
+        @pl.when(starts_ref[i, 4] != 0)
+        def _():
+            dma(i, i % 2).wait()
+            slot = i % 2
+
+            def taps(axis_base, s):
+                def at(flat):
+                    # (8, 128) SMEM block; flat offsets are static ints
+                    return params_ref[0, flat // 128, flat % 128]
+
+                lo = at(axis_base + 3 * s)
+                wl = at(axis_base + 3 * s + 1).astype(jnp.float32) * inv
+                wh = at(axis_base + 3 * s + 2).astype(jnp.float32) * inv
+                return lo, wl, wh
+
+            # x: two-tap lerp per sample (major-dim dynamic index),
+            # sn-bin average folded in
+            for b in range(ox):
+                acc = None
+                for k in range(sn):
+                    lo, wl, wh = taps(0, b * sn + k)
+                    hi = jnp.minimum(lo + 1, maxw - 1)
+                    v = (
+                        win[slot, lo].astype(jnp.float32) * wl
+                        + win[slot, hi].astype(jnp.float32) * wh
+                    )
+                    acc = v if acc is None else acc + v
+                t1[b] = acc * (1.0 / sn)  # (maxh, maxd, C)
+
+            # y: same, on t1's dim 1 (major)
+            for b in range(oy):
+                acc = None
+                for k in range(sn):
+                    lo, wl, wh = taps(3 * sw, b * sn + k)
+                    hi = jnp.minimum(lo + 1, maxh - 1)
+                    v = t1[:, lo] * wl + t1[:, hi] * wh
+                    acc = v if acc is None else acc + v
+                t2[b] = acc * (1.0 / sn)  # (ox, maxd, C)
+
+            # z rides the sublane dim where dynamic indexing is not
+            # lowerable: per output bin, build a (maxd,) weight vector
+            # from the bin's 2*sn taps and contract by multiply+reduce
+            diota = jax.lax.broadcasted_iota(jnp.int32, (maxd, 1), 0)
+            outs = []
+            for b in range(oz):
+                wvec = jnp.zeros((maxd, 1), jnp.float32)
+                for k in range(sn):
+                    lo, wl, wh = taps(3 * (sw + sh), b * sn + k)
+                    hi = jnp.minimum(lo + 1, maxd - 1)
+                    wvec = (
+                        wvec
+                        + jnp.where(diota == lo, wl, 0.0)
+                        + jnp.where(diota == hi, wh, 0.0)
+                    )
+                # reshape (not fancy-index) to broadcast: integer
+                # indexing lowers to lax.gather, which Mosaic rejects
+                wvec = wvec.reshape(1, 1, maxd, 1) * (1.0 / sn)
+                outs.append(
+                    jnp.sum(t2[...] * wvec, axis=2)
+                )  # (oy, ox, C)
+            out_ref[0] = jnp.stack(outs).astype(out_ref.dtype)
+
+    return kernel
 
 
 @functools.partial(
@@ -161,17 +206,8 @@ def roi_align_3d_pallas(
     bsz, d, h, w, c = features.shape
     n = rois.shape[0]
     sn = sample_num
-    max_d = min(max_d, d)
     max_h = min(max_hw, h)
     max_w = min(max_hw, w)
-    c_orig = c
-    if c % 128:
-        # HBM slices must be lane-aligned (128); pad channels
-        pad_c = 128 - c % 128
-        features = jnp.pad(
-            features, ((0, 0),) * 4 + ((0, pad_c),)
-        )
-        c = c + pad_c
 
     batch_idx = rois[:, 0].astype(jnp.int32)
     start_w = rois[:, 1] * spatial_scale
@@ -191,7 +227,9 @@ def roi_align_3d_pallas(
     def prep(coords, dim, max_len, align=1):
         # CUDA rules applied in GLOBAL coords, then made window-relative;
         # `align` keeps the DMA start tiling-aligned (sublane = 8 on the
-        # second-minor memref dim)
+        # second-minor memref dim).  Returns the window start plus
+        # per-sample two-tap (low, w_low, w_high) with the out-of-range
+        # mask folded into the weights (fixed-point int32).
         in_range = ((coords >= -1.0) & (coords <= dim)).astype(jnp.float32)
         cg = jnp.clip(coords, 0.0, dim - 1.0)
         w0 = jnp.clip(
@@ -203,32 +241,65 @@ def roi_align_3d_pallas(
         rel = jnp.clip(
             cg - w0[:, None].astype(cg.dtype), 0.0, max_len - 1.0
         )
-        return rel.astype(jnp.float32), in_range, w0
+        # two-tap with the read kept in-bounds: low <= max_len - 2 and
+        # frac absorbs the shift (at the top edge low = max_len - 2,
+        # frac = 1 selects index max_len - 1 exactly)
+        low = jnp.clip(
+            jnp.floor(rel).astype(jnp.int32), 0, max(max_len - 2, 0)
+        )
+        frac = jnp.clip(rel - low.astype(rel.dtype), 0.0, 1.0)
+        wl = ((1.0 - frac) * in_range * _WSCALE).astype(jnp.int32)
+        wh = (frac * in_range * _WSCALE).astype(jnp.int32)
+        return w0, low, wl, wh
 
-    # alignment slack on the tiled W axis; whole-axis window when the
-    # level is too small for slack (x0 is then 0, trivially aligned)
-    max_w_win = max_w + 8 if w >= max_w + 8 else w
-    xr, xin, x0 = prep(xs, w, max_w_win, align=8)
-    yr, yin, y0 = prep(ys, h, max_h)
-    zr, zin, z0 = prep(zs, d, max_d)
+    # alignment slack on the tiled D (sublane) axis; whole-axis window
+    # when the level is too shallow for slack (z0 is then 0, trivially
+    # aligned).  Sublane tiling is 8 for f32 and 16 for 2-byte dtypes —
+    # the DMA window start must land on a tile boundary.
+    zalign = 16 if jnp.dtype(features.dtype).itemsize < 4 else 8
+    max_d_win = max_d + zalign if d >= max_d + zalign else d
+    x0, xl, xwl, xwh = prep(xs, w, max_w)
+    y0, yl, ywl, ywh = prep(ys, h, max_h)
+    z0, zl, zwl, zwh = prep(zs, d, max_d_win, align=zalign)
     if active is None:
         act = jnp.ones((n,), jnp.int32)
     else:
         act = active.astype(jnp.int32)
-    starts = jnp.stack([batch_idx, z0, y0, x0, act], axis=1)
+    starts = jnp.stack([batch_idx, x0, y0, z0, act], axis=1)
 
-    sd, sh_, sw = zr.shape[1], yr.shape[1], xr.shape[1]
+    sw, sh_, sd = xs.shape[1], ys.shape[1], zs.shape[1]
 
-    # pack per-roi coords+masks into one (8, 128) VMEM tile per roi
-    # (TPU blocks need (8k, 128k) trailing dims)
-    assert max(sd, sh_, sw) <= 128
-    tile = jnp.zeros((n, 8, 128), jnp.float32)
-    tile = tile.at[:, 0, :sd].set(zr)
-    tile = tile.at[:, 1, :sh_].set(yr)
-    tile = tile.at[:, 2, :sw].set(xr)
-    tile = tile.at[:, 3, :sd].set(zin)
-    tile = tile.at[:, 4, :sh_].set(yin)
-    tile = tile.at[:, 5, :sw].set(xin)
+    def pack(low, wl, wh):
+        # (N, S, 3) -> interleaved [low, wlow, whigh] per sample
+        return jnp.stack([low, wl, wh], axis=-1).reshape(n, -1)
+
+    params = jnp.concatenate(
+        [pack(xl, xwl, xwh), pack(yl, ywl, ywh), pack(zl, zwl, zwh)],
+        axis=1,
+    )
+    psize = params.shape[1]
+    assert psize <= 8 * 128, "per-roi param block overflows one tile"
+    params = jnp.pad(params, ((0, 0), (0, 8 * 128 - psize))).reshape(
+        n, 8, 128
+    )
+
+    # (B, D, H, W, C) -> (B, W, H, D, C): x/y taps become major-dim
+    # dynamic indices (the only kind Mosaic lowers); D becomes the
+    # sublane dim, handled by the z weight-vector reduction.  One
+    # transpose per feature set per program — XLA CSE-dedupes it across
+    # the bbox/refinement/mask aligns of one program.
+    feats_t = features.transpose(0, 3, 2, 1, 4)
+    # Mosaic requires DMA slices 128-aligned on the lane (minor) dim:
+    # pad C up and slice the kernel output back outside the kernel
+    # (value ops on sub-128 lane slices are fine; memref slices aren't)
+    cpad = (-c) % 128
+    if cpad:
+        feats_t = jnp.pad(feats_t, ((0, 0),) * 4 + ((0, cpad),))
+    ck = c + cpad
+
+    kernel = _make_kernel(
+        sw, sh_, sd, sn, max_w, max_h, max_d_win, zalign
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n,),
@@ -236,34 +307,33 @@ def roi_align_3d_pallas(
             pl.BlockSpec(memory_space=pl.ANY),  # features stay in HBM
             pl.BlockSpec(
                 (1, 8, 128), lambda i, s: (i, 0, 0),
-                memory_space=pltpu.VMEM,
+                memory_space=pltpu.SMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, sd, sh_, sw, c), lambda i, s: (i, 0, 0, 0, 0),
+            (1, out_size_depth, out_size, out_size, ck),
+            lambda i, s: (i, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((max_d, max_h, max_w_win, c), features.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, max_w, max_h, max_d_win, ck), features.dtype),
+            pltpu.VMEM((out_size, max_h, max_d_win, ck), jnp.float32),
+            pltpu.VMEM((out_size, out_size, max_d_win, ck), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    samples = pl.pallas_call(
-        _roi_align_kernel,
+    out = pl.pallas_call(
+        kernel,
         out_shape=jax.ShapeDtypeStruct(
-            (n, sd, sh_, sw, c), features.dtype
+            (n, out_size_depth, out_size, out_size, ck), features.dtype
         ),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(starts, features, tile)
-
-    samples = samples.reshape(
-        n, out_size_depth, sn, out_size, sn, out_size, sn, c
-    )
-    return samples.mean(axis=(2, 4, 6))[..., :c_orig]
+    )(starts, feats_t, params)
+    return out[..., :c] if cpad else out
 
 
 def multi_level_roi_align_3d_pallas(
@@ -280,8 +350,7 @@ def multi_level_roi_align_3d_pallas(
     max_hw=32,
     interpret=False,
 ):
-    """FPN-level dispatch over the Pallas crop kernel (opt-in via
-    bbox_roi_extractor.roi_layer.use_pallas).
+    """FPN-level dispatch over the Pallas crop kernel.
 
     Each roi pays exactly ONE window DMA + interpolation: the per-level
     kernel launch skips (no DMA, no compute) every roi not assigned to

@@ -130,7 +130,7 @@ def main():
     # backends the pipeline can dispatch to.
     from mrcnn3d.ops.roi_align3d import (
         multi_level_roi_align_3d_chunked,
-        multi_level_roi_align_3d_xfirst,
+        multi_level_roi_align_3d_xfirst_chunked,
     )
     from mrcnn3d.ops.roi_align3d_pallas import (
         multi_level_roi_align_3d_pallas,
