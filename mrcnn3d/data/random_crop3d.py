@@ -46,9 +46,20 @@ class RandomCrop3D:
         self.rng = rng or np.random.RandomState()
 
     def _valid_corner(self, img_dim, patch_dim, lo, hi):
-        # rejection-sample until >= 1 box fully inside along this axis
+        # rejection-sample until >= 1 box fully inside along this axis.
+        # Feasibility precheck (distribution-preserving): a corner c
+        # works for box i iff c <= lo_i and c > hi_i - patch_dim, with
+        # c in [0, ub).  If no box admits any integer corner, the
+        # rejection loop can never succeed — without this, impossible
+        # data burns 10k draws per axis per outer attempt (~160 s per
+        # sample) before the bounded giveup.
+        ub = max(img_dim - patch_dim, 1)
+        c_min = np.maximum(np.floor(hi - patch_dim) + 1, 0)
+        c_max = np.minimum(np.floor(lo), ub - 1)
+        if not (c_min <= c_max).any():
+            return None
         for _ in range(10000):
-            corner = self.rng.randint(max(img_dim - patch_dim, 1))
+            corner = self.rng.randint(ub)
             mask = (lo >= corner) & (hi < corner + patch_dim)
             if mask.any():
                 return corner
@@ -70,6 +81,10 @@ class RandomCrop3D:
             min_iou = self.rng.choice(self.sample_mode)
             left = self._valid_corner(w, new_w, boxes[:, 0], boxes[:, 2])
             top = self._valid_corner(h, new_h, boxes[:, 1], boxes[:, 3])
+            if left is None or top is None:
+                # no box can ever be contained along that axis: every
+                # attempt would fail the `inside.any()` check below
+                return None
             front = 0
             patch = np.array(
                 [left, top, left + new_w, top + new_h, front, front + new_d],

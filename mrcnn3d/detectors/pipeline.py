@@ -819,6 +819,27 @@ def forward_train(model, variables, batch, rng, cfg, anchor_sets):
 # ---------------------------------------------------------------------------
 
 
+def _use_pallas_infer(feats, roi_cfg):
+    """True when the inference align should run the Pallas crop kernel
+    (ops/roi_align3d_pallas.py): one double-buffered window DMA + VPU
+    lerps per roi.  Real-chip shootout at 2000 rois (PROFILE.md r4):
+    bbox 7x7x3 23.7 ms vs xfirst 58 / gather 75; mask 14x14x10 51.6 ms
+    vs xfirst 138 / gather 925.  TPU-only (Mosaic kernel; CPU tests and
+    the GSPMD-sharded paths keep the einsum/gather formulations —
+    parallel/spatial.py force-disables the flag), 3-D volumes only
+    (depth-1 2-D windows are below the sublane tile).  Exactness
+    machinery (whole-axis z windows + cond-skipped xfirst fallback for
+    oversized rois) lives in multi_level_roi_align_3d_pallas."""
+    layer = roi_cfg.get("roi_layer", {}) if roi_cfg else {}
+    return (
+        bool(roi_cfg)
+        and layer.get("use_pallas_infer", True)
+        and not layer.get("use_pallas", False)  # legacy opt-in branch
+        and jax.default_backend() == "tpu"
+        and int(feats[0].shape[1]) >= 8
+    )
+
+
 def _use_xfirst(feats, roi_cfg):
     """Pick the cheaper inference align per call site: corner-gather vs
     the x-first separable-einsum path (multi_level_roi_align_3d_xfirst).
@@ -883,6 +904,25 @@ def _xfirst_chunk(feats, roi_cfg, n=None):
 def _roi_align_cfg(feats, rois, roi_cfg, valid=None, chunk=0,
                    prepacked=None, dense=False, flats=None):
     layer0 = roi_cfg.get("roi_layer", {})
+    if not dense and _use_pallas_infer(feats, roi_cfg):
+        from ..ops.roi_align3d_pallas import (
+            multi_level_roi_align_3d_pallas,
+        )
+
+        return multi_level_roi_align_3d_pallas(
+            list(feats[: len(roi_cfg["featmap_strides"])]),
+            rois,
+            layer0["out_size"],
+            layer0["out_size_depth"],
+            roi_cfg["featmap_strides"],
+            roi_cfg["featmap_strides_depth"],
+            layer0["sample_num"],
+            valid=valid,
+            max_d=int(layer0.get("pallas_max_d", 48)),
+            max_hw=int(layer0.get("pallas_max_hw", 32)),
+            fallback_k=int(layer0.get("pallas_fallback_k", 64)),
+            flats=flats,
+        )
     if not dense and _use_xfirst(feats, roi_cfg):
         return multi_level_roi_align_3d_xfirst_chunked(
             list(feats[: len(roi_cfg["featmap_strides"])]),
@@ -1108,7 +1148,7 @@ def simple_test(
                 test_cfg["rpn"], means=rpn_means, stds=rpn_stds,
             )
         rois, rvalid = flat_rois(pboxes, pvalid)
-        if s == 0:
+        if s == 0 and not _use_pallas_infer(feats, roi_cfg):
             if _use_xfirst(feats, roi_cfg):
                 # shared (W, D*C*H)-flat 1.0x features for the bbox,
                 # refinement and mask aligns of this program
@@ -1212,7 +1252,10 @@ def simple_test(
         rois, rvalid = flat_rois(det_boxes, dvalid)
         same_lvls = len(mask_roi_cfg["featmap_strides"]) == n_lvl
         mask_pack = packed0 if same_lvls else None
-        use_xf_mask = _use_xfirst(feats_s[0], mask_roi_cfg)
+        use_pl_mask = _use_pallas_infer(feats_s[0], mask_roi_cfg)
+        use_xf_mask = (
+            not use_pl_mask and _use_xfirst(feats_s[0], mask_roi_cfg)
+        )
         if use_xf_mask:
             mask_flats = (
                 flats0
@@ -1267,7 +1310,11 @@ def simple_test(
         # xfirst — the (m, out, D, H, C) finest-level tensor;
         # gather — the corner slab (out_vox * sn^3 rows of 512 lanes)
         layer = mask_roi_cfg["roi_layer"]
-        if use_xf_mask:
+        if use_pl_mask:
+            # the crop kernel streams one window per roi (VMEM-bounded)
+            # and skips inactive rois itself — no chunking needed
+            chunk = n
+        elif use_xf_mask:
             per_roi_chunk = _xfirst_chunk(feats_s[0], mask_roi_cfg)
             chunk = min(
                 int(test_cfg.get("mask_roi_chunk", 512)),

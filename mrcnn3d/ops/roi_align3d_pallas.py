@@ -52,6 +52,27 @@ from .roi_align3d import _axis_samples
 _WSCALE = 65536.0
 
 
+def _z_window(d, max_d, dtype):
+    """Static z-window geometry for one level.
+
+    The window rides the memref's second-minor (sublane) dim, where
+    Mosaic requires BOTH the DMA start and the slice SIZE tile-aligned
+    (8 rows for f32, 16 for 2-byte dtypes; measured: a 12-deep slice of
+    a 16-padded bf16 memref fails to lower).  Returns
+    (zalign, dpad, dk, max_d_win): pad the feature depth d by dpad to
+    dk = d + dpad (a zalign multiple), then run either a whole-axis
+    window (dk; exact global clamp) or a sliding window of
+    ceil(max_d/zalign)*zalign + zalign rows (the +zalign absorbs the
+    aligned-start floor), whichever is smaller.
+    """
+    zalign = 16 if jnp.dtype(dtype).itemsize < 4 else 8
+    dpad = (-d) % zalign
+    dk = d + dpad
+    slide = -(-max_d // zalign) * zalign + zalign
+    max_d_win = slide if dk > slide else dk
+    return zalign, dpad, dk, max_d_win
+
+
 def _make_kernel(sw, sh, sd, sn, maxw, maxh, maxd, zalign):
     """Build the kernel for static geometry.
 
@@ -252,12 +273,11 @@ def roi_align_3d_pallas(
         wh = (frac * in_range * _WSCALE).astype(jnp.int32)
         return w0, low, wl, wh
 
-    # alignment slack on the tiled D (sublane) axis; whole-axis window
-    # when the level is too shallow for slack (z0 is then 0, trivially
-    # aligned).  Sublane tiling is 8 for f32 and 16 for 2-byte dtypes —
-    # the DMA window start must land on a tile boundary.
-    zalign = 16 if jnp.dtype(features.dtype).itemsize < 4 else 8
-    max_d_win = max_d + zalign if d >= max_d + zalign else d
+    # z-window geometry (see _z_window): D is the transposed memref's
+    # second-minor (sublane) dim, so window start AND size must be
+    # tile-aligned; the depth axis is zero-padded to the tile and the
+    # padded rows only ever see zero interpolation weight
+    zalign, dpad, dk, max_d_win = _z_window(d, max_d, features.dtype)
     x0, xl, xwl, xwh = prep(xs, w, max_w)
     y0, yl, ywl, ywh = prep(ys, h, max_h)
     z0, zl, zwl, zwh = prep(zs, d, max_d_win, align=zalign)
@@ -289,12 +309,15 @@ def roi_align_3d_pallas(
     # transpose per feature set per program — XLA CSE-dedupes it across
     # the bbox/refinement/mask aligns of one program.
     feats_t = features.transpose(0, 3, 2, 1, 4)
-    # Mosaic requires DMA slices 128-aligned on the lane (minor) dim:
-    # pad C up and slice the kernel output back outside the kernel
-    # (value ops on sub-128 lane slices are fine; memref slices aren't)
+    # Mosaic requires DMA slices 128-aligned on the lane (minor) dim
+    # and tile-aligned on the sublane (D) dim: pad both up and slice
+    # the kernel output back outside the kernel (value ops on sub-tile
+    # slices are fine; memref slices aren't)
     cpad = (-c) % 128
-    if cpad:
-        feats_t = jnp.pad(feats_t, ((0, 0),) * 4 + ((0, cpad),))
+    if cpad or dpad:
+        feats_t = jnp.pad(
+            feats_t, ((0, 0),) * 3 + ((0, dpad), (0, cpad))
+        )
     ck = c + cpad
 
     kernel = _make_kernel(
@@ -336,6 +359,35 @@ def roi_align_3d_pallas(
     return out[..., :c] if cpad else out
 
 
+def _roi_fits_window(rois, scale, scale_d, dims, max_w, max_h, max_d_win,
+                     zalign):
+    """Per-roi exactness predicate for the crop kernel at one level.
+
+    The kernel is exact iff every (globally clamped, CUDA-rule) sample
+    coordinate fits one static window: span = min(end, dim-1) -
+    max(start, 0) must be <= max_len - 1 per axis (z additionally
+    loses up to zalign-1 to window-start alignment, unless the window
+    is the whole axis).  Conservative: uses the roi extent, which
+    bounds the sample span.
+    """
+    d, h, w = dims
+
+    def span(lo, hi, dim):
+        return jnp.minimum(hi, dim - 1.0) - jnp.maximum(lo, 0.0)
+
+    fx = span(rois[:, 1] * scale, (rois[:, 3] + 1.0) * scale, w) <= (
+        max_w - 1.0
+    )
+    fy = span(rois[:, 2] * scale, (rois[:, 4] + 1.0) * scale, h) <= (
+        max_h - 1.0
+    )
+    z_slack = 0 if max_d_win >= d else zalign
+    fz = span(
+        rois[:, 5] * scale_d, (rois[:, 6] + 1.0) * scale_d, d
+    ) <= (max_d_win - 1.0 - z_slack)
+    return fx & fy & fz
+
+
 def multi_level_roi_align_3d_pallas(
     feats,
     rois,
@@ -346,50 +398,82 @@ def multi_level_roi_align_3d_pallas(
     sample_num=2,
     finest_scale=56,
     valid=None,
-    max_d=16,
+    max_d=48,
     max_hw=32,
     interpret=False,
+    fallback_k=64,
+    flats=None,
 ):
-    """FPN-level dispatch over the Pallas crop kernel.
+    """FPN-level dispatch over the Pallas crop kernel, exact.
 
     Each roi pays exactly ONE window DMA + interpolation: the per-level
     kernel launch skips (no DMA, no compute) every roi not assigned to
     that level via the scalar-prefetched active flag, and the masked
-    sum selects each roi's (only defined) row.  Window bounds clamp to
-    each level's extent, so small pyramid levels run whole-level
-    windows with exact global-clamp semantics.
+    sum selects each roi's (only defined) row.  Exactness:
+
+      * the z window is the WHOLE level axis whenever the level depth
+        is <= max_d (true for every level at patch geometry), making
+        the window clamp identical to the global CUDA clamp;
+      * rois whose x/y (or deep-level z) extent exceeds the window are
+        detected per roi (`_roi_fits_window`) and the first
+        `fallback_k` of them are recomputed EXACTLY through the xfirst
+        einsum path inside a lax.cond that is skipped when no roi
+        misfits (zero cost on the common path).  Misfits beyond
+        fallback_k keep the kernel's window-clamped value — a bounded,
+        tested divergence for extreme-aspect-ratio rois only.
     """
     from .roi_align3d import map_roi_levels, multi_level_roi_align_3d
+    from .roi_align3d import multi_level_roi_align_3d_xfirst
 
     num_levels = len(feats)
+    n = rois.shape[0]
     target = map_roi_levels(rois, num_levels, finest_scale)
     out = None
+    fits = jnp.zeros((n,), bool)
+    any_pallas = False
     for lvl, f in enumerate(feats):
-        md = min(max_d, f.shape[1])
-        mh = max_hw  # per-axis clamping happens inside the kernel call
+        d_l = int(f.shape[1])
+        md = d_l if d_l <= max_d else min(max_d, d_l)
         act = target == lvl
         if valid is not None:
             act = act & valid
-        if f.shape[3] < 8 and not interpret:
-            # sub-sublane-wide level (toy inputs only): the whole-axis
-            # DMA window would be under the 8-sublane tile — keep the
-            # XLA gather for this level on hardware (negligible size)
+        if (f.shape[3] < 8 or f.shape[1] < 2) and not interpret:
+            # sub-tile level (toy inputs / depth-1 2-D family): the DMA
+            # window would be under the sublane tile — keep the XLA
+            # gather for this level on hardware (negligible size)
             o = multi_level_roi_align_3d(
                 [f], rois, out_size, out_size_depth,
                 [featmap_strides[lvl]], [featmap_strides_depth[lvl]],
                 sample_num, finest_scale=finest_scale, valid=act,
             )
+            fits = fits | act  # XLA path is exact for this level
         else:
+            any_pallas = True
+            sc = 1.0 / featmap_strides[lvl]
+            sc_d = 1.0 / featmap_strides_depth[lvl]
+            mw = min(max_hw, int(f.shape[3]))
+            mh = min(max_hw, int(f.shape[2]))
+            # the kernel's actual window geometry (shared helper so the
+            # exactness predicate can never drift from the kernel)
+            zalign, _, _, mdw = _z_window(d_l, md, f.dtype)
+            fits = fits | (
+                act
+                & _roi_fits_window(
+                    rois, sc, sc_d, (d_l, int(f.shape[2]),
+                                     int(f.shape[3])),
+                    mw, mh, mdw, zalign,
+                )
+            )
             o = roi_align_3d_pallas(
                 f,
                 rois,
                 out_size,
                 out_size_depth,
-                1.0 / featmap_strides[lvl],
-                1.0 / featmap_strides_depth[lvl],
+                sc,
+                sc_d,
                 sample_num,
                 max_d=md,
-                max_hw=mh,
+                max_hw=max_hw,
                 interpret=interpret,
                 active=act,
             )
@@ -398,4 +482,41 @@ def multi_level_roi_align_3d_pallas(
         sel = act[:, None, None, None, None]
         o = jnp.where(sel, o, 0.0)
         out = o if out is None else out + o
+
+    sel_all = valid if valid is not None else jnp.ones((n,), bool)
+    misfit = sel_all & ~fits
+    k = min(int(fallback_k), n)
+    if k > 0 and any_pallas:
+        order = jnp.argsort(~misfit, stable=True).astype(jnp.int32)[:k]
+        sub_val = jnp.take(misfit, order)
+
+        def run_fb(_):
+            if feats[0].shape[0] == 1:
+                sub = multi_level_roi_align_3d_xfirst(
+                    list(feats), jnp.take(rois, order, axis=0),
+                    out_size, out_size_depth, featmap_strides,
+                    featmap_strides_depth, sample_num,
+                    finest_scale=finest_scale, valid=sub_val,
+                    flats=flats,
+                )
+            else:  # xfirst is single-volume; k rois keep this cheap
+                sub = multi_level_roi_align_3d(
+                    list(feats), jnp.take(rois, order, axis=0),
+                    out_size, out_size_depth, featmap_strides,
+                    featmap_strides_depth, sample_num,
+                    finest_scale=finest_scale, valid=sub_val,
+                )
+            base = jnp.take(out, order, axis=0)
+            return jnp.where(
+                sub_val[:, None, None, None, None],
+                sub.astype(out.dtype), base,
+            )
+
+        rows = jax.lax.cond(
+            jnp.any(sub_val),
+            run_fb,
+            lambda _: jnp.take(out, order, axis=0),
+            operand=None,
+        )
+        out = out.at[order].set(rows)
     return out

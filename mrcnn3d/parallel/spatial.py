@@ -82,6 +82,18 @@ def sharded_simple_test(model, variables, cfg, anchor_sets, mesh,
     """
     from ..detectors import pipeline as pl
 
+    # GSPMD cannot partition the Pallas crop-align custom call — force
+    # the einsum/gather align formulations, which shard like any XLA op
+    import copy as _copy
+
+    if cfg.model.get("bbox_roi_extractor") or cfg.model.get(
+        "mask_roi_extractor"
+    ):
+        cfg = _copy.deepcopy(cfg)
+        for key in ("bbox_roi_extractor", "mask_roi_extractor"):
+            if cfg.model.get(key):
+                cfg.model[key]["roi_layer"]["use_pallas_infer"] = False
+
     in_sh = NamedSharding(mesh, P(batch_axis, axis))
     model = _with_spatial_shard(model, mesh, axis, batch_axis)
 

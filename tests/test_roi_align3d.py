@@ -339,6 +339,109 @@ def test_multi_level_pallas_matches_gather():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
 
 
+def test_multi_level_pallas_misfit_fallback_exact():
+    """Rois whose extent exceeds the crop window are recomputed exactly
+    through the cond-skipped xfirst fallback: the full wrapper output
+    matches the XLA extractor even with extreme-aspect-ratio rois."""
+    from mrcnn3d.ops.roi_align3d_pallas import (
+        multi_level_roi_align_3d_pallas,
+    )
+
+    rng = np.random.RandomState(31)
+    feats = [
+        jnp.asarray(rng.randn(1, 16, 48, 48, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(1, 8, 24, 24, 8).astype(np.float32)),
+    ]
+    rois = jnp.asarray(
+        [
+            [0, 4, 4, 20, 20, 2, 8],      # fits
+            [0, 0, 80, 180, 95, 2, 10],   # 45-wide at level 0: misfit
+            [0, 2, 2, 30, 150, 0, 12],    # 37-tall at level 0: misfit
+            [0, 8, 8, 40, 40, 4, 20],     # fits
+        ],
+        jnp.float32,
+    )
+    ref = multi_level_roi_align_3d(
+        feats, rois, 7, 3, [4, 8], [2, 4], 2
+    )
+    got = multi_level_roi_align_3d_pallas(
+        feats, rois, 7, 3, [4, 8], [2, 4], 2,
+        max_d=16, max_hw=32, interpret=True, fallback_k=4,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+    # beyond-fallback_k misfits keep the (clamped) kernel value, but
+    # every FIT roi must still be exact
+    got1 = multi_level_roi_align_3d_pallas(
+        feats, rois, 7, 3, [4, 8], [2, 4], 2,
+        max_d=16, max_hw=32, interpret=True, fallback_k=1,
+    )
+    keep = np.array([0, 3])
+    np.testing.assert_allclose(
+        np.asarray(got1)[keep], np.asarray(ref)[keep], atol=2e-4
+    )
+
+
+def test_multi_level_pallas_whole_axis_z_exact():
+    """Levels whose depth fits max_d run whole-axis z windows — a
+    z-spanning roi is exact with no fallback needed."""
+    from mrcnn3d.ops.roi_align3d_pallas import (
+        multi_level_roi_align_3d_pallas,
+    )
+
+    rng = np.random.RandomState(32)
+    feats = [
+        jnp.asarray(rng.randn(1, 32, 32, 32, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(1, 16, 16, 16, 8).astype(np.float32)),
+    ]
+    # full-depth rois (z extent = 64 input voxels = 32 level-0 feature
+    # voxels, deeper than any 16-slice window)
+    rois = jnp.asarray(
+        [[0, 4, 4, 24, 24, 0, 63], [0, 10, 10, 50, 50, 0, 63]],
+        jnp.float32,
+    )
+    ref = multi_level_roi_align_3d(
+        feats, rois, 7, 3, [4, 8], [2, 4], 2
+    )
+    got = multi_level_roi_align_3d_pallas(
+        feats, rois, 7, 3, [4, 8], [2, 4], 2,
+        max_d=48, max_hw=32, interpret=True, fallback_k=0,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_multi_level_pallas_unaligned_depth_exact():
+    """Levels whose depth is not a sublane-tile multiple (12, 6 — the
+    1.5x bench pathway) must still be exact: the wrapper zero-pads the
+    depth axis to the tile and the padded rows carry zero weight.  On
+    hardware this geometry is ALSO a Mosaic lowering regression test
+    (partial unaligned slice of the tiled D dim, caught on v5e)."""
+    from mrcnn3d.ops.roi_align3d_pallas import (
+        multi_level_roi_align_3d_pallas,
+    )
+
+    rng = np.random.RandomState(33)
+    feats = [
+        jnp.asarray(rng.randn(1, 12, 48, 48, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(1, 6, 24, 24, 8).astype(np.float32)),
+    ]
+    rois = jnp.asarray(
+        [
+            [0, 4, 4, 40, 40, 2, 20],
+            [0, 100, 100, 400, 400, 0, 90],  # deep + wide: level 1
+            [0, 60, 60, 90, 90, 10, 40],
+        ],
+        jnp.float32,
+    )
+    ref = multi_level_roi_align_3d(
+        feats, rois, 7, 3, [16, 32], [8, 16], 2
+    )
+    got = multi_level_roi_align_3d_pallas(
+        feats, rois, 7, 3, [16, 32], [8, 16], 2, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
 def test_pipeline_pallas_flag(monkeypatch):
     """use_pallas in the roi_layer config routes _roi_align_cfg to the
     Pallas extractor."""
