@@ -99,7 +99,11 @@ def main():
     model = build_detector(cfg, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     imgs = jnp.zeros((1, d, h, w, 3), jnp.bfloat16)
-    variables = model.init(rng, imgs[:, :8, :64, :64, :])
+    # jit the init: on the remote axon stack every DISTINCT eager
+    # primitive costs ~0.5 s to compile, and flax's eager init has
+    # hundreds of them (measured: init alone >15 min; jitted: one
+    # ~20 s compile)
+    variables = jax.jit(model.init)(rng, imgs[:, :8, :64, :64, :])
 
     acs = anchor_cfgs(cfg)
     sets = []

@@ -27,7 +27,10 @@ class TrainState(NamedTuple):
 
 
 def create_train_state(model, rng, example_input, tx):
-    variables = model.init(rng, example_input)
+    # jit: flax's eager init dispatches each primitive separately —
+    # ~0.5 s per distinct op on a remote-execution backend (axon),
+    # which turns init into minutes; one jitted program compiles once
+    variables = jax.jit(model.init)(rng, example_input)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(

@@ -44,7 +44,7 @@ def main():
         os.path.join(here, "configs", "mask_rcnn_3d_2scales.py")
     )
     model = build_detector(cfg, dtype=jnp.bfloat16)
-    variables = model.init(
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 8, 64, 64, 3), jnp.bfloat16)
     )
     acs = anchor_cfgs(cfg)

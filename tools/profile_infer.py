@@ -55,7 +55,7 @@ def main():
         cfg.test_cfg["return_bbox_only"] = False
 
     model = build_detector(cfg, dtype=jnp.bfloat16)
-    variables = model.init(
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 8, 64, 64, 3), jnp.bfloat16)
     )
     acs = anchor_cfgs(cfg)

@@ -54,7 +54,9 @@ def main():
 
     model = build_detector(cfg, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
-    variables = model.init(rng, jnp.zeros((1, 8, 64, 64, 3), jnp.bfloat16))
+    variables = jax.jit(model.init)(
+        rng, jnp.zeros((1, 8, 64, 64, 3), jnp.bfloat16)
+    )
 
     acs = anchor_cfgs(cfg)
     sets = []

@@ -44,7 +44,7 @@ def build(cfg_name="mask_rcnn_3d_2scales.py", batch=1):
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cfg = Config.fromfile(os.path.join(here, "configs", cfg_name))
     model = build_detector(cfg, dtype=jnp.bfloat16)
-    variables = model.init(
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 8, 64, 64, 3), jnp.bfloat16)
     )
     acs = anchor_cfgs(cfg)

@@ -96,7 +96,7 @@ def main():
             variables["batch_stats"] = restored["batch_stats"]
     else:
         print("WARNING: no checkpoint found, using random init")
-        variables = model.init(
+        variables = jax.jit(model.init)(
             jax.random.PRNGKey(0), jnp.zeros((1, 8, 32, 32, 3))
         )
     out = run_inference(cfg, model, variables, dataset)
