@@ -1,22 +1,38 @@
-"""Halo-aware volume-tiling inference driver.
+"""Halo-aware volume-tiling inference driver, device-resident.
 
 The reference scales to whole volumes by evaluating pre-cut patch
 datasets whose img_infos carry pos_top/pos_left/pos_front offsets, then
 translating detections to volume coordinates and merging with a global
 asymmetric-overlap NMS at 0.1 (SURVEY.md section 5 long-context analysis;
-coco_utils.py:306-370).  This driver does the tiling on the fly: fixed
-patch geometry (one XLA compile), overlapping halos so boundary objects
-appear fully inside some patch, per-patch inference, coordinate
-translation, and the same merge NMS.
+coco_utils.py:306-370).  This driver does the tiling on the fly and
+TPU-first:
+
+  * the whole volume (both resolutions) is uploaded to device HBM ONCE
+    (cast to the model compute dtype — half the bytes for bf16 models);
+  * each tile is cut ON DEVICE with `lax.dynamic_slice` inside one
+    jitted program whose origin is a traced argument — one compile for
+    the whole sweep, zero per-tile host->device image transfer (the
+    previous host-cropping driver re-uploaded every overlapping tile:
+    ~4.4 GB per 512^2x240 sweep, which dominated end-to-end time on
+    remote-attached devices);
+  * the mask fetch is class-gathered on device: only the predicted
+    class's (Dm, Hm, Wm) logit slice travels back, 4x less than the
+    full (C, Dm, Hm, Wm) block.
+
+Detections are translated to volume coordinates and merged with the
+same global NMS as the reference.
 """
 from __future__ import annotations
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
 from ..detectors import pipeline as pl
+from ..detectors.build import anchor_cfgs
 from ..eval.masks import get_box_masks_3d
 from ..eval.results import det_entries, merge_patch_detections
-from .test_api import InferenceRunner
 
 
 def tile_starts(extent, patch, stride):
@@ -28,25 +44,77 @@ def tile_starts(extent, patch, stride):
     return starts
 
 
-def _fixed_tile(vol, z0, y0, x0, pd, ph):
-    """Crop a (pd, ph, ph) window, zero-padding at volume edges.
+def _pad_to(vol, tgt):
+    """Zero-pad (D, H, W, 3) up to tgt = (D', H', W') once, on host.
+    Zeros are the normalised mean intensity (matches the reference's
+    border handling for remainder patches)."""
+    pads = [(0, t - s) for t, s in zip(tgt, vol.shape[:3])] + [(0, 0)]
+    if any(p[1] > 0 for p in pads):
+        vol = np.pad(vol, pads)
+    return vol
 
-    Every tile has identical geometry so the whole sweep runs on ONE
-    compiled program; zeros are the normalised mean intensity. (Volumes
-    smaller than the patch, and short 1.5x windows from upscale rounding,
-    are the cases that would otherwise trigger a recompile per distinct
-    remainder shape.)
+
+class DeviceTiler:
+    """One compiled program for a whole tile sweep.
+
+    fn(vol, vol2, o1, o2) dynamic-slices the device-resident volume(s)
+    at the (traced) origins and runs simple_test on the patch pair.
     """
-    t = vol[z0 : z0 + pd, y0 : y0 + ph, x0 : x0 + ph]
-    pads = [
-        (0, pd - t.shape[0]),
-        (0, ph - t.shape[1]),
-        (0, ph - t.shape[2]),
-        (0, 0),
-    ]
-    if any(p[1] for p in pads[:3]):
-        t = np.pad(t, pads)
-    return t
+
+    def __init__(self, cfg, model, variables, patch1, patch2=None):
+        self.model = model
+        self.patch1, self.patch2 = patch1, patch2
+        acs = anchor_cfgs(cfg)
+        sets = []
+        shapes = [patch1] + ([patch2] if patch2 else [])
+        for (d, h, w), ac in zip(shapes, acs):
+            x = jnp.zeros((1, d, h, w, 3))
+            feats = jax.eval_shape(
+                lambda v: model.apply(
+                    variables, v, method=model.extract_feat
+                ),
+                x,
+            )
+            fs = [f.shape[1:4] for f in feats]
+            sets.append(pl.build_anchor_set(fs, (h, w, 3, d), ac))
+
+        dtype = getattr(model, "dtype", jnp.float32)
+
+        @jax.jit
+        def fn(vol, vol2, o1, o2):
+            t = jax.lax.dynamic_slice(
+                vol, (o1[0], o1[1], o1[2], 0), patch1 + (3,)
+            )
+            batch = {"imgs": t[None].astype(dtype)}
+            if patch2 is not None:
+                t2 = jax.lax.dynamic_slice(
+                    vol2, (o2[0], o2[1], o2[2], 0), patch2 + (3,)
+                )
+                batch["imgs_2"] = t2[None].astype(dtype)
+            out = pl.simple_test(model, variables, batch, cfg, sets)
+            res = (out["dets"], out["labels"], out["valid"])
+            if "mask_logits" in out:
+                ml = out["mask_logits"]  # (N, C, Dm, Hm, Wm)
+                lbl = (out["labels"][0] + 1).astype(jnp.int32)
+                sel = jax.vmap(lambda m, c: m[c])(ml, lbl)
+                res = res + (sel.astype(jnp.bfloat16),)
+            return res
+
+        self._fn = fn
+
+    def __call__(self, vol, vol2, o1, o2):
+        out = self._fn(
+            vol, vol2,
+            jnp.asarray(o1, jnp.int32), jnp.asarray(o2, jnp.int32),
+        )
+        res = (
+            np.asarray(out[0][0]),
+            np.asarray(out[1][0]),
+            np.asarray(out[2][0]),
+        )
+        if len(out) > 3:
+            res = res + (np.asarray(out[3], np.float32),)
+        return res
 
 
 def tiled_inference(
@@ -70,7 +138,6 @@ def tiled_inference(
     segm_pos_* placement the same way, coco_utils.py:416-477); paste
     with eval.masks.paste_mask_3d or feed to CocoEval3D directly.
     """
-    runner = InferenceRunner(cfg, model, variables)
     img = np.asarray(volume_sample["imgs"])
     with_masks = getattr(model, "with_mask", False) and not cfg.test_cfg.get(
         "return_bbox_only", False
@@ -81,34 +148,51 @@ def tiled_inference(
     stride_hw = max(int(patch_hw * (1 - overlap)), 1)
     stride_d = max(int(patch_d * (1 - overlap)), 1)
 
-    img2 = None
-    up = cfg.get("upscale_factor", 1.5)
-    if model.num_scales >= 2:
-        img2 = np.asarray(volume_sample["imgs_2"])
+    zs = tile_starts(d, patch_d, stride_d)
+    ys = tile_starts(h, patch_hw, stride_hw)
+    xs = tile_starts(w, patch_hw, stride_hw)
 
-    # fixed 1.5x window geometry for the whole sweep (one compile)
+    up = cfg.get("upscale_factor", 1.5)
+    two_scale = model.num_scales >= 2
     pd2, ph2 = int(round(patch_d * up)), int(round(patch_hw * up))
+    patch2 = (pd2, ph2, ph2) if two_scale else None
+
+    # the model compute dtype is also the transfer dtype: for bf16
+    # models this halves the (one-time) host->device upload
+    dtype = getattr(model, "dtype", jnp.float32)
+
+    # pad ONCE so every tile's dynamic_slice is in-bounds: the 1.0x
+    # volume up to the patch, the 1.5x volume up to the farthest
+    # rounded origin + patch (round(s*up) can overshoot dim2 by a voxel)
+    img = _pad_to(img, (max(d, patch_d), max(h, patch_hw),
+                        max(w, patch_hw)))
+    vol = jax.device_put(jnp.asarray(img, dtype))
+    vol2 = None
+    if two_scale:
+        img2 = np.asarray(volume_sample["imgs_2"])
+        z2s = [int(round(z * up)) for z in zs]
+        y2s = [int(round(y * up)) for y in ys]
+        x2s = [int(round(x * up)) for x in xs]
+        img2 = _pad_to(
+            img2,
+            (max(z2s) + pd2, max(y2s) + ph2, max(x2s) + ph2),
+        )
+        vol2 = jax.device_put(jnp.asarray(img2, dtype))
+    else:
+        vol2 = jnp.zeros((1, 1, 1, 3), dtype)
+
+    tiler = DeviceTiler(
+        cfg, model, variables, (patch_d, patch_hw, patch_hw), patch2
+    )
 
     entries = []
-    for z0 in tile_starts(d, patch_d, stride_d):
-        for y0 in tile_starts(h, patch_hw, stride_hw):
-            for x0 in tile_starts(w, patch_hw, stride_hw):
-                sample = {
-                    "imgs": _fixed_tile(img, z0, y0, x0, patch_d, patch_hw)
-                }
-                if img2 is not None:
-                    # the 1.0x window [u0, u0+p) maps to [u0*up, (u0+p)*up)
-                    # in the 1.5x volume; round (not truncate) the origin so
-                    # both pathways see the same physical window
-                    z2, y2, x2 = (
-                        int(round(z0 * up)),
-                        int(round(y0 * up)),
-                        int(round(x0 * up)),
-                    )
-                    sample["imgs_2"] = _fixed_tile(
-                        img2, z2, y2, x2, pd2, ph2
-                    )
-                out = runner(sample)
+    for iz, z0 in enumerate(zs):
+        for iy, y0 in enumerate(ys):
+            for ix, x0 in enumerate(xs):
+                o2 = (
+                    (z2s[iz], y2s[iy], x2s[ix]) if two_scale else (0, 0, 0)
+                )
+                out = tiler(vol, vol2, (z0, y0, x0), o2)
                 dets, labels, valid = out[:3]
                 per_class = pl.bbox2result3d(
                     dets, labels, valid, model.num_classes

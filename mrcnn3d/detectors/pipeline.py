@@ -909,6 +909,13 @@ def _roi_align_cfg(feats, rois, roi_cfg, valid=None, chunk=0,
             multi_level_roi_align_3d_pallas,
         )
 
+        # z-window default: bbox/refinement aligns (shallow out_depth)
+        # take a 16-slice sliding window — the deep 1.5x level-0 axis
+        # (48) costs 50% more DMA per roi as a whole-axis window
+        # (measured 33 vs 22 ms / 2000 rois), and rois deeper than the
+        # window fall back exactly; mask aligns keep whole-axis windows
+        # (20 z samples per roi want the exact global clamp everywhere)
+        d_default = 16 if int(layer0["out_size_depth"]) <= 4 else 48
         return multi_level_roi_align_3d_pallas(
             list(feats[: len(roi_cfg["featmap_strides"])]),
             rois,
@@ -918,7 +925,7 @@ def _roi_align_cfg(feats, rois, roi_cfg, valid=None, chunk=0,
             roi_cfg["featmap_strides_depth"],
             layer0["sample_num"],
             valid=valid,
-            max_d=int(layer0.get("pallas_max_d", 48)),
+            max_d=int(layer0.get("pallas_max_d", d_default)),
             max_hw=int(layer0.get("pallas_max_hw", 32)),
             fallback_k=int(layer0.get("pallas_fallback_k", 64)),
             flats=flats,

@@ -45,6 +45,10 @@ def get_box_masks_3d(
     translation and merge NMS before any paste.
     """
     probs = _sigmoid(np.asarray(mask_logits, np.float32))
+    # (N, Dm, Hm, Wm): the per-detection class slice was already
+    # gathered (e.g. on-device by the tiled driver, which fetches only
+    # the predicted class's mask to cut device->host transfer 4x)
+    preselected = probs.ndim == 4
     boxes = np.asarray(det_bboxes)[:, :6]
     labels = np.asarray(det_labels) + 1
     valid = np.asarray(det_valid).astype(bool)
@@ -58,7 +62,7 @@ def get_box_masks_3d(
         w = max(bbox[2] - bbox[0] + 1, 1)
         h = max(bbox[3] - bbox[1] + 1, 1)
         d = max(bbox[5] - bbox[4] + 1, 1)
-        mask = probs[i, label]
+        mask = probs[i] if preselected else probs[i, label]
         bbox_mask = (
             _trilinear_resize(mask, (d, h, w)) > mask_thr_binary
         ).astype(np.uint8)

@@ -11,7 +11,6 @@ LEARNING.json.  These tests stop the protocol drifting silently:
   loudly instead of the headline number quietly moving (the round-1 ->
   round-2 regression this guards against, VERDICT r2 "What's weak" #3).
 """
-import glob
 import json
 import os
 
@@ -19,8 +18,8 @@ import pytest
 
 
 def _gen_and_hash(tmpdir):
-    from mrcnn3d.data.synthetic import make_synthetic_coco3d
-
+    """Exactly the hash learning_bench.py records: train + val + the
+    materialized 1.5x val twin that eval pass 2 reads."""
     import importlib.util
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -29,22 +28,7 @@ def _gen_and_hash(tmpdir):
     )
     lb = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(lb)
-
-    ann_tr, dir_tr = make_synthetic_coco3d(
-        os.path.join(tmpdir, "train_data"),
-        num_volumes=lb.TRAIN_VOLUMES, hw=lb.HW, depth=lb.DEPTH,
-        lesions_per_volume=lb.LESIONS, seed=lb.DATA_SEED_TRAIN,
-    )
-    ann_va, dir_va = make_synthetic_coco3d(
-        os.path.join(tmpdir, "val_data"),
-        num_volumes=lb.VAL_VOLUMES, hw=lb.HW, depth=lb.DEPTH,
-        lesions_per_volume=lb.LESIONS, seed=lb.DATA_SEED_VAL,
-    )
-    return lb.sha256_paths(
-        [ann_tr, ann_va]
-        + glob.glob(os.path.join(dir_tr, "*.npy"))
-        + glob.glob(os.path.join(dir_va, "*.npy"))
-    )
+    return lb.generate_pinned_data(tmpdir)[0]
 
 
 @pytest.mark.slow
@@ -62,7 +46,21 @@ def test_learning_protocol_data_pinned(tmp_path):
             "score was measured on different data — re-run "
             "tools/learning_bench.py and re-pin"
         )
-        # expected-score band: the pinned 1600-iter protocol must stay
-        # a LEARNING system (see LEARNING.md for the measured history)
+        # expected-score band: measured ± noise, not a vanity floor
+        # (VERDICT r3 item 5).  History (LEARNING.md): bbox 0.810 (r3
+        # pinned), 0.804 single-pass, 0.825 (r1, comparable protocol);
+        # segm 0.445 (r3 pinned).  The band is the 3-seed spread
+        # measured in round 4 widened by ~2x for generator/hardware
+        # noise — a real regression (e.g. the r2-style 0.41) fails.
         if rec["protocol"]["iters"] >= 1600:
-            assert rec["stats"]["bbox_mAP"] >= 0.30, rec["stats"]
+            assert 0.70 <= rec["stats"]["bbox_mAP"] <= 0.95, rec["stats"]
+            if rec.get("segm_stats"):
+                assert rec["segm_stats"]["segm_mAP"] >= 0.38, (
+                    rec["segm_stats"]
+                )
+            # the mask-quality oracle must be recorded alongside the
+            # score: it is what makes a segm drift bisectable
+            assert rec.get("mask_quality", {}).get("n_gt", 0) > 0, (
+                "LEARNING.json missing the mask_quality oracle — "
+                "re-run tools/learning_bench.py"
+            )

@@ -76,11 +76,51 @@ def sha256_paths(paths):
     return h.hexdigest()
 
 
+def generate_pinned_data(workdir, upscale_factor=1.5):
+    """Generate the pinned train/val/1.5x-twin datasets and return
+    (data_hash, ann_tr, dir_tr, ann_va, dir_va, ann_va2, dir_va2).
+
+    This is THE hash recorded in LEARNING.json — the protocol test
+    calls this same function, so the two can never disagree about what
+    data the score was measured on."""
+    from mrcnn3d.data.synthetic import (
+        make_synthetic_coco3d,
+        make_synthetic_coco3d_scaled,
+    )
+
+    train_root = os.path.join(workdir, "train_data")
+    val_root = os.path.join(workdir, "val_data")
+    ann_tr, dir_tr = make_synthetic_coco3d(
+        train_root, num_volumes=TRAIN_VOLUMES, hw=HW, depth=DEPTH,
+        lesions_per_volume=LESIONS, seed=DATA_SEED_TRAIN,
+    )
+    ann_va, dir_va = make_synthetic_coco3d(
+        val_root, num_volumes=VAL_VOLUMES, hw=HW, depth=DEPTH,
+        lesions_per_volume=LESIONS, seed=DATA_SEED_VAL,
+    )
+    ann_va2, dir_va2 = make_synthetic_coco3d_scaled(
+        ann_va, dir_va, val_root + "_1dot5x", upscale_factor
+    )
+    # hash EVERYTHING the protocol consumes, incl. the 1.5x scaled val
+    # twin that eval pass 2 reads — a scaling-generator change must
+    # change the recorded hash or the bisectability guarantee is void
+    data_hash = sha256_paths(
+        [ann_tr, ann_va, ann_va2]
+        + glob.glob(os.path.join(dir_tr, "*.npy"))
+        + glob.glob(os.path.join(dir_va, "*.npy"))
+        + glob.glob(os.path.join(dir_va2, "*.npy"))
+    )
+    return data_hash, ann_tr, dir_tr, ann_va, dir_va, ann_va2, dir_va2
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=1600)
     p.add_argument("--workdir", default="/tmp/mrcnn3d_learning_bench")
     p.add_argument("--skip-train", action="store_true")
+    p.add_argument("--train-seed", type=int, default=TRAIN_SEED,
+                   help="override the pinned train seed (multi-seed "
+                        "noise studies; the artifact records it)")
     p.add_argument("--json-out", default=None,
                    help="write the result artifact here (default "
                         "<repo>/LEARNING.json)")
@@ -102,10 +142,6 @@ def main():
     from mrcnn3d.apis.test_api import run_inference
     from mrcnn3d.apis.train_api import train_detector
     from mrcnn3d.data.coco3d import Coco3D2ScalesDataset
-    from mrcnn3d.data.synthetic import (
-        make_synthetic_coco3d,
-        make_synthetic_coco3d_scaled,
-    )
     from mrcnn3d.detectors.build import build_detector
     from mrcnn3d.eval.coco_eval3d import CocoEval3D
     from mrcnn3d.eval.masks import segm_entries
@@ -122,27 +158,9 @@ def main():
 
     # ---- pinned data ----
     t0 = time.time()
-    train_root = os.path.join(args.workdir, "train_data")
-    val_root = os.path.join(args.workdir, "val_data")
-    ann_tr, dir_tr = make_synthetic_coco3d(
-        train_root, num_volumes=TRAIN_VOLUMES, hw=HW, depth=DEPTH,
-        lesions_per_volume=LESIONS, seed=DATA_SEED_TRAIN,
-    )
-    ann_va, dir_va = make_synthetic_coco3d(
-        val_root, num_volumes=VAL_VOLUMES, hw=HW, depth=DEPTH,
-        lesions_per_volume=LESIONS, seed=DATA_SEED_VAL,
-    )
-    ann_va2, dir_va2 = make_synthetic_coco3d_scaled(
-        ann_va, dir_va, val_root + "_1dot5x", cfg.get("upscale_factor", 1.5)
-    )
-    # hash EVERYTHING the protocol consumes, incl. the 1.5x scaled val
-    # twin that eval pass 2 reads — a scaling-generator change must
-    # change the recorded hash or the bisectability guarantee is void
-    data_hash = sha256_paths(
-        [ann_tr, ann_va, ann_va2]
-        + glob.glob(os.path.join(dir_tr, "*.npy"))
-        + glob.glob(os.path.join(dir_va, "*.npy"))
-        + glob.glob(os.path.join(dir_va2, "*.npy"))
+    (data_hash, ann_tr, dir_tr, ann_va, dir_va, ann_va2,
+     dir_va2) = generate_pinned_data(
+        args.workdir, cfg.get("upscale_factor", 1.5)
     )
     print(f"data ready in {time.time()-t0:.1f}s  sha256={data_hash[:16]}…")
 
@@ -157,7 +175,7 @@ def main():
         with_mask=True,
         max_gt=max_gt,
         extra_aug=tr.get("extra_aug"),
-        seed=TRAIN_SEED,
+        seed=args.train_seed,
     )
 
     # ---- train ----
@@ -165,7 +183,7 @@ def main():
     if not args.skip_train:
         t0 = time.time()
         train_detector(
-            cfg, dataset, work_dir=args.workdir, seed=TRAIN_SEED,
+            cfg, dataset, work_dir=args.workdir, seed=args.train_seed,
             max_iters=args.iters, mesh=None, log_interval=100,
         )
         train_s = time.time() - t0
@@ -244,7 +262,7 @@ def main():
         protocol=dict(
             data_seed_train=DATA_SEED_TRAIN,
             data_seed_val=DATA_SEED_VAL,
-            train_seed=TRAIN_SEED,
+            train_seed=args.train_seed,
             hw=HW, depth=DEPTH,
             train_volumes=TRAIN_VOLUMES, val_volumes=VAL_VOLUMES,
             lesions=list(LESIONS),
