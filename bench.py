@@ -75,8 +75,20 @@ def _require_device(timeout_s=240):
         os._exit(1)
 
 
+def _prog(msg, _t0=[None]):
+    """Phase progress to STDERR (stdout stays one JSON line): the full
+    run is ~10 compiles over a remote tunnel; without timestamps a hung
+    phase is indistinguishable from a slow one."""
+    if _t0[0] is None:
+        _t0[0] = time.perf_counter()
+    print(f"[bench +{time.perf_counter() - _t0[0]:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
 def main():
+    _prog("probing device")
     _require_device()
+    _prog("device ok")
     from mrcnn3d.detectors import pipeline as pl
     from mrcnn3d.detectors.build import anchor_cfgs, build_detector
     from mrcnn3d.utils.config import Config
@@ -103,7 +115,10 @@ def main():
     # primitive costs ~0.5 s to compile, and flax's eager init has
     # hundreds of them (measured: init alone >15 min; jitted: one
     # ~20 s compile)
+    _prog("init compile")
     variables = jax.jit(model.init)(rng, imgs[:, :8, :64, :64, :])
+    jax.block_until_ready(variables)
+    _prog("init done")
 
     acs = anchor_cfgs(cfg)
     sets = []
@@ -161,9 +176,11 @@ def main():
             return 0.0
 
     # warmup / compile
+    _prog("bbox infer compile")
     lowered = infer.lower(jax.random.PRNGKey(1), base1, base2)
     compiled_infer = lowered.compile()
     infer_flops = flops_of(compiled_infer)
+    _prog("bbox infer compiled; first exec")
     dets, valid = infer(jax.random.PRNGKey(1), base1, base2)
     jax.block_until_ready(dets)
 
@@ -185,6 +202,7 @@ def main():
             "max_s": round(float(np.max(ts)), 4),
         }
 
+    _prog("bbox infer timing")
     dt, dt_spread = timed(
         lambda i: infer(
             jax.random.fold_in(jax.random.PRNGKey(2), i), base1, base2
@@ -216,9 +234,11 @@ def main():
         )
         return out["dets"], out["valid"], out["mask_logits"]
 
+    _prog("segm infer compile+first")
     dd, vv, mm = infer_segm(jax.random.PRNGKey(4), base1, base2)
     jax.block_until_ready(mm)
     segm_dets = int(jnp.sum(vv))
+    _prog("segm infer timing")
     segm_dt, segm_spread = timed(
         lambda i: infer_segm(
             jax.random.fold_in(jax.random.PRNGKey(5), i),
@@ -281,9 +301,11 @@ def main():
         return batch
 
     batch0 = make_batch(jax.random.PRNGKey(7))
+    _prog("train compile")
     t_lower = train_step.lower(state, batch0, jax.random.PRNGKey(8))
     compiled_train = t_lower.compile()
     train_flops = flops_of(compiled_train)
+    _prog("train compiled; first step")
     state, _ = train_step(state, batch0, jax.random.PRNGKey(8))
     jax.block_until_ready(state.params)
     # pre-build batches so host-side RNG isn't timed with the step
@@ -293,6 +315,7 @@ def main():
         for i in range(t_iters)
     ]
     jax.block_until_ready(batches)
+    _prog("train timing")
     ts = []
     for i in range(t_iters):
         t0 = time.perf_counter()
@@ -340,8 +363,10 @@ def main():
         eps = jax.random.normal(key, (), jnp.bfloat16) * 0.01
         return sharded_fn(b + eps)
 
+    _prog("wholevol fwd compile+first")
     wv_out = wv_step(jax.random.PRNGKey(14), wv_base)
     jax.block_until_ready(wv_out)
+    _prog("wholevol fwd timing")
     t0 = time.perf_counter()
     for i in range(4):
         wv_out = wv_step(
@@ -371,16 +396,19 @@ def main():
         "imgs_2": np.asarray(wv2, np.float32),
     }
     del wv2
+    _prog("tiled e2e cold run")
     t0 = time.perf_counter()
     tiled_inference(
         scfg, model, variables, wv_vol, patch_hw=wv_h, patch_d=d,
     )
     wv_e2e_cold = time.perf_counter() - t0  # includes patch compile reuse
+    _prog("tiled e2e warm run")
     t0 = time.perf_counter()
     tiled_inference(
         scfg, model, variables, wv_vol, patch_hw=wv_h, patch_d=d,
     )
     wv_e2e = time.perf_counter() - t0
+    _prog("all phases done")
 
     # headline = bbox+segm (BASELINE.md configs 2/3).  Previous rounds'
     # BENCH value was bbox-only; compare segm-vs-segm where a prior segm
