@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from ..detectors import pipeline as pl
 from ..detectors.build import anchor_cfgs
-from ..eval.masks import get_box_masks_3d
+from ..eval.masks import _sigmoid, box_mask_from_probs
 from ..eval.results import det_entries, merge_patch_detections
 
 
@@ -205,26 +205,42 @@ def tiled_inference(
                 )
                 patch_entries = det_entries(per_class, info)
                 if with_masks and len(out) > 3:
-                    # attach the box-extent mask to each entry: box
-                    # masks come out row-ordered with labels, which is
+                    # Attach the RAW class-gathered mask probs + the int
+                    # box per entry; the trilinear resize to box extents
+                    # is deferred to AFTER the merge NMS (it only needs
+                    # boxes), so only surviving detections pay the host
+                    # resize.  At the full 2000-det budget this was
+                    # 2000 resizes/tile x 5 tiles before the merge —
+                    # the dominant cost of the whole-volume sweep.
+                    # Ordering: labels/valid row order per class is
                     # exactly bbox2result3d's per-class row order, so a
-                    # class-major flatten aligns with det_entries
-                    cls_masks = [[] for _ in range(model.num_classes - 1)]
-                    for bm in get_box_masks_3d(
-                        out[3], dets, labels, valid, mask_thr
-                    ):
-                        cls_masks[bm["label"] - 1].append(bm)
-                    flat = [bm for cm in cls_masks for bm in cm]
+                    # class-major index flatten aligns with det_entries.
+                    probs = _sigmoid(np.asarray(out[3], np.float32))
+                    vmask = np.asarray(valid).astype(bool)
+                    lbl = np.asarray(labels)
+                    rows = [
+                        i
+                        for c in range(model.num_classes - 1)
+                        for i in np.nonzero(vmask & (lbl == c))[0]
+                    ]
                     shift = np.array([x0, y0, x0, y0, z0, z0], np.int32)
-                    for e, bm in zip(patch_entries, flat):
+                    boxes_int = np.asarray(dets)[:, :6].astype(np.int32)
+                    for e, i in zip(patch_entries, rows):
                         e["segmentation"] = dict(
-                            box=bm["box"] + shift,
-                            mask=bm["mask"],
+                            box=boxes_int[i] + shift,
+                            probs=probs[i],
                             shape=(d, h, w),
                         )
                 entries.extend(patch_entries)
 
     merged = merge_patch_detections(entries, merge_thr)
+    # deferred mask realisation: resize+threshold survivors only
+    for e in merged:
+        seg = e.get("segmentation")
+        if seg is not None and "mask" not in seg:
+            seg["mask"] = box_mask_from_probs(
+                seg.pop("probs"), seg["box"], mask_thr
+            )
     # back to per-class xyxyzz+score arrays (+ aligned segm carriers)
     out = [[] for _ in range(model.num_classes - 1)]
     segms = [[] for _ in range(model.num_classes - 1)]

@@ -24,6 +24,22 @@ def _trilinear_resize(vol, out_shape):
     )[..., 0]
 
 
+def box_mask_from_probs(probs, box, mask_thr_binary=0.25):
+    """Resize one detection's (Dm, Hm, Wm) mask PROBS to its integer box
+    extents and threshold — the per-detection tail of get_box_masks_3d,
+    split out so callers that merge-NMS first (apis/tiled.py) can defer
+    the host trilinear resize to the surviving detections only.
+
+    box: int [x0, y0, x1, y1, z0, z1]. Returns (d, h, w) uint8.
+    """
+    w = max(int(box[2]) - int(box[0]) + 1, 1)
+    h = max(int(box[3]) - int(box[1]) + 1, 1)
+    d = max(int(box[5]) - int(box[4]) + 1, 1)
+    return (
+        _trilinear_resize(probs, (d, h, w)) > mask_thr_binary
+    ).astype(np.uint8)
+
+
 def get_box_masks_3d(
     mask_logits,
     det_bboxes,

@@ -56,7 +56,8 @@ def main():
         os.path.join(here, "configs", "mask_rcnn_3d_2scales.py")
     )
     cfg.test_cfg["return_bbox_only"] = False
-    model = build_detector(cfg)
+    # bf16 like bench.py: the f32 program OOMs the v5e at this geometry
+    model = build_detector(cfg, dtype=jnp.bfloat16)
 
     if args.smoke:
         wv_d, wv_h = 48, 64
