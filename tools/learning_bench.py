@@ -181,12 +181,20 @@ def main():
     # ---- train ----
     train_s = None  # --skip-train reuses a checkpoint: no train time
     if not args.skip_train:
+        # a pre-existing checkpoint at >= --iters makes train_detector
+        # resume-and-exit immediately; record that as a reuse (None),
+        # not a bogus train_seconds=0.0 (VERDICT r3 weak #6)
+        had_ckpt = bool(
+            glob.glob(os.path.join(args.workdir, "checkpoints", "*"))
+        )
         t0 = time.time()
         train_detector(
             cfg, dataset, work_dir=args.workdir, seed=args.train_seed,
             max_iters=args.iters, mesh=None, log_interval=100,
         )
         train_s = time.time() - t0
+        if had_ckpt and train_s < 5.0:
+            train_s = None
 
     model = build_detector(cfg)
     manager = ckpt.make_manager(args.workdir)
