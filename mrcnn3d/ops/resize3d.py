@@ -38,7 +38,8 @@ def resize_trilinear_3d(vol, out_dhw):
     """Resize (D, H, W, C) -> (D', H', W', C), f32 accumulation.
 
     Matches mrcnn3d.native.resize_trilinear voxel-for-voxel up to f32
-    summation order (tested in tests/test_tiled_segm.py).
+    summation order (tested in tests/test_resize3d.py, which also
+    covers the tiled driver deriving the twin through this path).
     """
     od, oh, ow = (int(v) for v in out_dhw)
     d, h, w, _ = vol.shape

@@ -289,11 +289,11 @@ def multi_level_roi_align_3d(
     (sum(B*Dl*Hl*Wl), C) buffer and each roi gathers through its own
     level's offset with per-roi scales — one gather pass total.
 
-    This corner-gather formulation is the default: on v5e at pipeline
+    This corner-gather formulation serves the CPU / GSPMD-sharded 1.5x
+    bbox align (PROFILE.md "formulation roster"): on v5e at pipeline
     geometry (4 levels of 512x512x96, C=64, 2000 rois, out 7x7x3) it
-    measures 114 ms vs 161 ms for the row-slab/MXU experiment below
-    (`multi_level_roi_align_3d_rowslab`) — the packed 128-lane corner
-    rows already saturate the gather fast path (tools/bench_mlroi.py).
+    measured 114 ms vs 161 ms for the row-slab/MXU experiment (pruned
+    in round 5 — it never won a product geometry).
 
     feats: list of (B, D, H, W, C); rois (N, 7) [b, x1..z2];
     valid (N,) bool or None.  Returns (N, out_d, out, out, C).
@@ -784,257 +784,3 @@ def multi_level_roi_align_3d_xfirst_chunked(
         (rois.reshape(k, chunk, 7), valid.reshape(k, chunk)),
     )
     return out.reshape((k * chunk,) + out.shape[2:])[:n]
-
-
-def multi_level_roi_align_3d_rowslab(
-    feats,
-    rois,
-    out_size,
-    out_size_depth,
-    featmap_strides,
-    featmap_strides_depth,
-    sample_num=2,
-    finest_scale=56,
-    valid=None,
-    win_xy=32,
-    max_zrows=16,
-):
-    """FPN-level-dispatched RoIAlign — row-slab gather + MXU interpolation.
-
-    EXPERIMENTAL, not the default: measured 161 ms vs 114 ms for the
-    corner-gather formulation above at pipeline bbox geometry (v5e,
-    tools/bench_mlroi.py) — the full-minor-row gather fetches ~4.6x the
-    bytes of the packed corner rows and the saved interpolation FLOPs
-    don't pay for it at C=64.  Kept as a second oracle and for wide-C
-    stacks where the corner packing stops being row-efficient.
-
-    TPU-native formulation of the reference's per-level RoIAlign
-    (single_level.py:84-104 + roi_align_kernel.cu ROIAlignForward3D):
-    instead of 8 random-access corner gathers per sample (the
-    `..._gather` variant above — measured gather-row-rate-bound on v5e),
-    each roi reads *contiguous* feature rows and interpolates with dense
-    per-roi matrices on the MXU:
-
-      * feature levels are re-blocked into rows of (win_xy*C) lanes; the
-        gather fetches FULL minor-dim rows of this 2-D table — the only
-        gather shape on the TPU fast path — 2 adjacent x-blocks per
-        needed (z, y) position;
-      * y rows are a `win_xy` window; x and y interpolation (including
-        the sample_num bin average and the CUDA in-range masking) are
-        folded into dense (out, win) matrices applied as einsums;
-      * z uses exact corner rows (2 per sample) when 2*Sd <= max_zrows,
-        else a max_zrows window with a dense z matrix.
-
-    Semantics match the CUDA kernel except for rois whose per-axis extent
-    exceeds the window (win_xy cells in x/y, max_zrows in z — possible
-    only for degenerate needle-shaped boxes after level dispatch, which
-    bounds sqrt(w*h*d) per level): their samples clamp to the window
-    edge.  Exactness for in-window rois is oracle-tested.
-    """
-    num_levels = len(feats)
-    b = feats[0].shape[0]
-    c = feats[0].shape[-1]
-    n = rois.shape[0]
-    compute_dtype = feats[0].dtype
-    sn = sample_num
-
-    target = map_roi_levels(rois, num_levels, finest_scale)
-    if valid is not None:
-        target = jnp.where(valid, target, 0)
-
-    # Block the x axis: rows of (bx*C) lanes so the gather takes FULL
-    # minor-dim rows of a 2-D operand — the only gather shape on the TPU
-    # fast path (1-D sliced gathers measured ~15x slower, per-corner
-    # 128-lane rows ~130x more rows).  Each roi reads the 2 adjacent
-    # blocks covering its x window.
-    bx = win_xy
-    rows_l = []
-    blocks_list = []
-    for f in feats:
-        fb, fd, fh, fw, _ = f.shape
-        wpad = (-fw) % bx
-        if wpad:
-            f = jnp.pad(
-                f, ((0, 0), (0, 0), (0, 0), (0, wpad), (0, 0))
-            )
-        blocks_list.append((fd, fh, (fw + wpad) // bx))
-        rows_l.append(f.reshape(-1, bx * c))
-    dims = np.array([f.shape[1:4] for f in feats], np.int32)  # (L, 3)
-    blocks = np.array(blocks_list, np.int32)  # (L, 3): (D, H, W_blocks)
-    sizes = np.array(
-        [b * int(np.prod(d)) for d in blocks_list], np.int64
-    )
-    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
-    flat2 = jnp.concatenate(rows_l, axis=0)  # (total_rows, bx*C)
-    flat2 = jax.lax.optimization_barrier(flat2)
-
-    t = target
-    dim_d = jnp.asarray(dims[:, 0])[t]
-    dim_h = jnp.asarray(dims[:, 1])[t]
-    dim_w = jnp.asarray(dims[:, 2])[t]
-    nblk_w = jnp.asarray(blocks[:, 2])[t]
-    sc_xy = jnp.asarray(
-        np.array([1.0 / s for s in featmap_strides], np.float32)
-    )[t]
-    sc_d = jnp.asarray(
-        np.array([1.0 / s for s in featmap_strides_depth], np.float32)
-    )[t]
-    off = jnp.asarray(offsets)[t]
-    batch_idx = rois[:, 0].astype(jnp.int32)
-
-    start_w = rois[:, 1] * sc_xy
-    start_h = rois[:, 2] * sc_xy
-    end_w = (rois[:, 3] + 1.0) * sc_xy
-    end_h = (rois[:, 4] + 1.0) * sc_xy
-    start_d = rois[:, 5] * sc_d
-    end_d = (rois[:, 6] + 1.0) * sc_d
-    roi_w = jnp.maximum(end_w - start_w, 0.0)
-    roi_h = jnp.maximum(end_h - start_h, 0.0)
-    roi_d = jnp.maximum(end_d - start_d, 0.0)
-
-    xs = _axis_samples(start_w, roi_w, out_size, sn)  # (N, Sw)
-    ys = _axis_samples(start_h, roi_h, out_size, sn)  # (N, Sh)
-    zs = _axis_samples(start_d, roi_d, out_size_depth, sn)  # (N, Sd)
-    sd = zs.shape[1]
-
-    def window_matrix(coords, dim, win, align=1):
-        """Dense (N, out, win) interp matrix for one axis: CUDA edge
-        rules + in-range mask + sample-average fold, window-relative."""
-        in_range = (
-            (coords >= -1.0) & (coords <= dim[:, None].astype(coords.dtype))
-        ).astype(jnp.float32)
-        cg = jnp.clip(
-            coords, 0.0, (dim[:, None] - 1).astype(coords.dtype)
-        )
-        w0 = jnp.clip(
-            jnp.floor(cg.min(axis=1)).astype(jnp.int32),
-            0,
-            jnp.maximum(dim - win, 0),
-        )
-        w0 = (w0 // align) * align
-        valid_ext = jnp.minimum(dim - w0, win)  # (N,) data extent in window
-        rel = jnp.clip(
-            cg - w0[:, None].astype(cg.dtype),
-            0.0,
-            (valid_ext[:, None] - 1).astype(cg.dtype),
-        )
-        low = jnp.floor(rel).astype(jnp.int32)
-        at_edge = low >= valid_ext[:, None] - 1
-        low = jnp.where(at_edge, valid_ext[:, None] - 1, low)
-        high = jnp.where(at_edge, low, low + 1)
-        relc = jnp.where(at_edge, low.astype(rel.dtype), rel)
-        frac = relc - low.astype(rel.dtype)
-        cols = jax.lax.broadcasted_iota(
-            jnp.int32, coords.shape + (win,), 2
-        )
-        mat = (
-            (cols == low[..., None]).astype(jnp.float32)
-            * (1.0 - frac)[..., None]
-            + (cols == high[..., None]).astype(jnp.float32)
-            * frac[..., None]
-        ) * in_range[..., None]
-        # fold the bin mean: (N, out*sn, win) -> (N, out, win)
-        mat = mat.reshape(mat.shape[0], -1, sn, win).sum(axis=2) / sn
-        return mat, w0
-
-    # x window = 2 adjacent bx-blocks (block-aligned start covers any
-    # in-budget roi extent <= bx+1 cells regardless of phase)
-    xmat, x0 = window_matrix(xs, dim_w, 2 * bx, align=bx)
-    ymat, y0 = window_matrix(ys, dim_h, win_xy)
-
-    z_corner_mode = 2 * sd <= max_zrows
-    if z_corner_mode:
-        zl, zh, wzl, wzh, zin = [None] * 5
-        # exact z-corner rows (no z window): per-roi dims
-        dimf = dim_d[:, None].astype(zs.dtype)
-        zin = ((zs >= -1.0) & (zs <= dimf)).astype(jnp.float32)
-        cg = jnp.maximum(zs, 0.0)
-        low = jnp.floor(cg).astype(jnp.int32)
-        at_edge = low >= dim_d[:, None] - 1
-        low = jnp.where(at_edge, dim_d[:, None] - 1, low)
-        high = jnp.where(at_edge, low, low + 1)
-        cg = jnp.where(at_edge, low.astype(zs.dtype), cg)
-        frac = cg - low.astype(zs.dtype)
-        z_rows = jnp.concatenate([low, high], axis=1)  # (N, 2*Sd)
-        wz_low = (1.0 - frac) * zin  # (N, Sd)
-        wz_high = frac * zin
-        n_z = 2 * sd
-    else:
-        zmat, z0 = window_matrix(zs, dim_d, max_zrows)
-        z_rows = jnp.clip(
-            z0[:, None]
-            + jnp.arange(max_zrows, dtype=jnp.int32)[None, :],
-            0,
-            (dim_d - 1)[:, None],
-        )
-        n_z = max_zrows
-
-    win_y = win_xy
-    y_rows = jnp.clip(
-        y0[:, None] + jnp.arange(win_y, dtype=jnp.int32)[None, :],
-        0,
-        (dim_h - 1)[:, None],
-    )
-
-    # row indices into the blocked table: (N, n_z, win_y, 2)
-    xb0 = x0 // bx
-    xb1 = jnp.minimum(xb0 + 1, nblk_w - 1)
-    xb = jnp.stack([xb0, xb1], axis=1)  # (N, 2)
-    base = off + (batch_idx * dim_d).astype(off.dtype) * (
-        dim_h * nblk_w
-    ).astype(off.dtype)
-    idx = (
-        base[:, None, None, None]
-        + (
-            z_rows[:, :, None, None].astype(off.dtype)
-            * dim_h[:, None, None, None].astype(off.dtype)
-            + y_rows[:, None, :, None].astype(off.dtype)
-        )
-        * nblk_w[:, None, None, None].astype(off.dtype)
-        + xb[:, None, None, :].astype(off.dtype)
-    )
-    idx = jax.lax.optimization_barrier(idx)
-    # Keep the gathered slab in its NATIVE row layout (minor dim =
-    # 2*bx*c exactly as fetched) and contract y first: splitting bx
-    # from c on the full slab forces a tiled-layout copy of the whole
-    # multi-GB buffer, while the y-einsum needs no split at all.  The
-    # (win_y -> out) reduction shrinks the slab ~win_y/out before the
-    # one required relayout for the x contraction.
-    v = jnp.take(flat2, idx.reshape(-1), axis=0).reshape(
-        n, n_z, win_y, 2 * bx * c
-    )
-    k = ymat.shape[1]
-    out1 = jnp.einsum(
-        "nzyf,nky->nzkf",
-        v,
-        ymat.astype(compute_dtype),
-        preferred_element_type=jnp.float32,
-    )
-    out1 = out1.astype(compute_dtype).reshape(n, n_z, k, 2 * bx, c)
-    out2 = jnp.einsum(
-        "nzkwc,nxw->nzkxc",
-        out1,
-        xmat.astype(compute_dtype),
-        preferred_element_type=jnp.float32,
-    )
-
-    if z_corner_mode:
-        lo = out2[:, :sd] * wz_low[:, :, None, None, None]
-        hi = out2[:, sd:] * wz_high[:, :, None, None, None]
-        zsum = lo + hi  # (N, Sd, out, out, C)
-        zsum = zsum.reshape(
-            n, out_size_depth, sn, out_size, out_size, c
-        ).sum(axis=2) / sn
-    else:
-        zsum = jnp.einsum(
-            "nzkxc,ndz->ndkxc",
-            out2.astype(compute_dtype),
-            zmat.astype(compute_dtype),
-            preferred_element_type=jnp.float32,
-        )
-
-    if valid is not None:
-        zsum = jnp.where(
-            valid[:, None, None, None, None], zsum, 0.0
-        )
-    return zsum.astype(compute_dtype)

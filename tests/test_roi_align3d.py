@@ -275,35 +275,6 @@ def test_chunked_matches_unchunked():
     )
 
 
-def test_rowslab_matches_gather():
-    from mrcnn3d.ops.roi_align3d import multi_level_roi_align_3d_rowslab
-
-    rng = np.random.RandomState(14)
-    feats = [
-        jnp.asarray(rng.randn(2, 16, 32, 32, 8).astype(np.float32)),
-        jnp.asarray(rng.randn(2, 8, 16, 16, 8).astype(np.float32)),
-    ]
-    n = 24
-    x1 = rng.uniform(0, 80, n)
-    y1 = rng.uniform(0, 80, n)
-    z1 = rng.uniform(0, 20, n)
-    rois = jnp.asarray(
-        np.stack(
-            [rng.randint(0, 2, n).astype(np.float64), x1, y1,
-             x1 + rng.uniform(4, 60, n), y1 + rng.uniform(4, 60, n),
-             z1, z1 + rng.uniform(2, 10, n)], -1,
-        ).astype(np.float32)
-    )
-    valid = jnp.asarray(rng.rand(n) > 0.2)
-    ref = multi_level_roi_align_3d(
-        feats, rois, 7, 3, [4, 8], [2, 4], 2, valid=valid
-    )
-    got = multi_level_roi_align_3d_rowslab(
-        feats, rois, 7, 3, [4, 8], [2, 4], 2, valid=valid
-    )
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
-
-
 def test_multi_level_pallas_matches_gather():
     """Opt-in Pallas multi-level dispatch == the XLA gather extractor
     (interpreter mode on CPU; hardware exactness covered by the
