@@ -30,8 +30,7 @@ def _run_isolated(test_name):
     # programs — fresh compiles run fine (verified both ways)
     env["MRCNN3D_NO_COMPILE_CACHE"] = "1"
     # retry once: spawning a jax process next to a live one on this
-    # 1-CPU box can transiently SIGABRT during backend bring-up (same
-    # flake dryrun_multichip retries its child for)
+    # 1-CPU box can transiently SIGABRT during backend bring-up
     for attempt in range(2):
         proc = subprocess.run(
             [sys.executable, "-m", "pytest",
