@@ -48,15 +48,20 @@ def main():
         os.path.join(here, "configs", "mask_rcnn_3d_2scales.py")
     )
     cfg.test_cfg["return_bbox_only"] = False
-    # bf16 like bench.py: the f32 program OOMs the v5e at this geometry
-    model = build_detector(cfg, dtype=jnp.bfloat16)
 
     if args.smoke:
         wv_d, wv_h = 48, 64
         d, hw = 16, 32
-        # trim the proposal budget: the full 2000-slot program is a
-        # multi-minute compile on a 1-core CPU box and proves nothing
-        # extra about the driver phases
+        # narrow model + trimmed budget: the flagship-width 2000-slot
+        # program is a multi-minute compile on a 1-core CPU box and
+        # proves nothing extra about the driver phases
+        cfg.model["backbone"]["depth"] = 18
+        cfg.model["backbone"]["base_width"] = 8
+        cfg.model["neck"]["out_channels"] = 16
+        for hk in ("bbox_head", "refinement_head"):
+            cfg.model[hk]["fc_out_channels"] = 64
+        for hk in ("mask_head", "refinement_mask_head"):
+            cfg.model[hk]["num_convs"] = 1
         for k in ("nms_pre", "nms_post", "max_num"):
             cfg.test_cfg["rpn"][k] = 64
         cfg.test_cfg["rcnn"]["max_per_img"] = 64
@@ -64,6 +69,9 @@ def main():
     else:
         wv_d, wv_h = 240, 512
         d, hw = 64, 512
+
+    # bf16 like bench.py: the f32 program OOMs the v5e at this geometry
+    model = build_detector(cfg, dtype=jnp.bfloat16)
 
     rng = jax.random.PRNGKey(0)
     variables = jax.jit(model.init)(
