@@ -126,6 +126,9 @@ def main():
         cat = g(r, "HLO op category", "HLO category", "category",
                 default="?")
         by_cat[cat] = by_cat.get(cat, 0.0) + float(g(r, *key_t))
+    print(f"\n== device self-time sum: {total/args.iters/1e3:.1f} ms/step "
+          f"vs wall {dt*1e3:.1f} ms/step "
+          f"(gap {dt*1e3 - total/args.iters/1e3:.1f} ms = dispatch/host) ==")
     print("\n== category rollup ==")
     for cat, us in sorted(by_cat.items(), key=lambda kv: -kv[1]):
         print(f"{us/total*100:6.2f}%  {us/args.iters/1e3:9.2f} ms/step  {cat}")
