@@ -11,9 +11,14 @@ import sys
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_backend_optimization_level" not in flags:
+    # tests prove semantics, not CPU codegen quality: LLVM opt level 0
+    # cuts the compile-dominated suite wall substantially on this
+    # 1-core box (same trick as the dryrun child; full tier passes
+    # under it — numerics are unchanged at the HLO level)
+    flags = (flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -102,6 +102,7 @@ def test_train_and_eval(tiny_cfg, synth_data, tmp_path):
     assert "segm_mAP" in segm_stats and len(segm_stats) == 29
 
 
+@pytest.mark.slow  # 104 s: two train runs + restore; r5 fast-tier trim
 def test_checkpoint_resume(tiny_cfg, synth_data, tmp_path):
     ann_file, img_dir = synth_data
     from mrcnn3d.apis.train_api import train_detector

@@ -98,6 +98,7 @@ def test_depth_sharded_backbone_matches_replicated():
 @pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 virtual devices"
 )
+@pytest.mark.slow  # 66 s: double SPMD inference compile; r5 fast-tier trim
 def test_sharded_simple_test_matches_replicated():
     """End-to-end sharded_simple_test == plain simple_test (flagship
     two-scale flow scaled down to the 8-dev CPU mesh)."""

@@ -157,6 +157,7 @@ def test_retinanet_3d_single_stage():
     assert out["dets"].shape == (1, 16, 7)
 
 
+@pytest.mark.slow  # 50 s compile: 3-stage cascade; r5 fast-tier trim
 def test_cascade_rcnn_3d():
     cfg = _tiny_cfg("FasterRCNN3D")
     cfg.model["type"] = "CascadeRCNN3D"
