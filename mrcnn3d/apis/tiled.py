@@ -145,14 +145,15 @@ class DeviceTiler:
 
     @staticmethod
     def fetch(out):
-        """Device->host transfer of a run() result."""
+        """Device->host transfer of a run() result.  Mask logits travel
+        as bf16 (half the tunnel bytes) and widen to f32 on the host."""
         res = (
             np.asarray(out[0]),
             np.asarray(out[1]),
             np.asarray(out[2]),
         )
         if len(out) > 3:
-            res = res + (np.asarray(out[3], np.float32),)
+            res = res + (np.asarray(out[3]).astype(np.float32),)
         return res
 
     def __call__(self, vol, vol2, o1, o2):

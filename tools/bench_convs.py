@@ -65,13 +65,28 @@ def conv_inventory(fn, *args):
     return out
 
 
-def time_fn(f, *xs, iters=10):
-    y = f(*xs)
-    jax.block_until_ready(y)
+def time_fn(f, *xs, iters=6):
+    """Per-iter timing via a BLOCKING SCALAR FETCH of a sum over f's
+    output.  Three remote-exec pitfalls this works around, all measured
+    on the axon stack: (1) repeated identical executions are served
+    from a result cache (unique eps per iter, large enough to survive
+    bf16 rounding — 1e-6 on ~N(0,1) rounds back bit-identical); (2)
+    jax.block_until_ready returns without awaiting remote completion
+    (0.02 ms for a 1.37 TFLOP conv); (3) back-to-back async launches
+    queue without executing.  float(scalar) is the only sync primitive
+    observed to reliably wait here.  The added reduce costs one
+    bandwidth pass — fine for relative comparisons."""
+    g = jax.jit(lambda *a: jnp.sum(f(*a).astype(jnp.float32)))
+    variants = []
+    for i in range(4):
+        eps = jnp.asarray(0.01 * (i + 1), xs[0].dtype)
+        variants.append((xs[0] + eps,) + xs[1:])
+    jax.block_until_ready(variants)
+    float(g(*variants[0]))  # compile + warm
     ts = []
-    for _ in range(iters):
+    for i in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(*xs))
+        float(g(*variants[i % len(variants)]))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
@@ -189,7 +204,8 @@ def main():
         os.path.join(os.path.dirname(__file__), "..",
                      "configs", "mask_rcnn_3d_2scales.py")
     )
-    model = build_detector(cfg)
+    # bf16 like bench.py — the inventory must match the benched program
+    model = build_detector(cfg, dtype=jnp.bfloat16)
     if args.smoke:
         shapes = [(1, 16, 64, 64, 3), (1, 24, 96, 96, 3)]
     else:
