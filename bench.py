@@ -94,6 +94,36 @@ def _prog(msg, _t0=[None]):
           file=sys.stderr, flush=True)
 
 
+
+def sync(out):
+    """Blocking SCALAR fetch of one element of one output leaf.
+    On the current axon stack jax.block_until_ready returns without
+    awaiting remote completion (measured r5: 0.02 ms for a 1.4 TFLOP
+    conv, 5 ms for the 140 ms train step) — materialising a scalar on
+    the host is the only reliable sync.  Outputs of one device stream
+    complete in order, so one leaf syncs the call."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[0])
+
+
+def retry_transient(what, fn):
+    """Retry ONCE on transient remote-stack failures: the axon tunnel
+    sporadically kills a compile with INTERNAL errors ('remote_compile:
+    response body closed' — observed by the r4 judge); one such blip
+    must not zero a whole bench phase."""
+    try:
+        return fn()
+    except Exception as e:  # noqa: BLE001 — backend error types vary
+        msg = str(e)
+        if any(s in msg for s in
+               ("INTERNAL", "remote_compile", "UNAVAILABLE",
+                "DEADLINE_EXCEEDED", "body closed")):
+            _prog(f"{what}: transient backend error, retrying once "
+                  f"({msg[:120]!r})")
+            return fn()
+        raise
+
+
 def main():
     _prog("probing device")
     _require_device()
@@ -126,7 +156,7 @@ def main():
     # ~20 s compile)
     _prog("init compile")
     variables = jax.jit(model.init)(rng, imgs[:, :8, :64, :64, :])
-    jax.block_until_ready(variables)
+    sync(variables)
     _prog("init done")
 
     acs = anchor_cfgs(cfg)
@@ -155,7 +185,7 @@ def main():
             jax.random.PRNGKey(12), (1, d2, h2, w2, 3), jnp.bfloat16
         )
     )
-    jax.block_until_ready((base1, base2))
+    sync((base1, base2))
 
     # bases are jit ARGUMENTS, not closures — closed-over multi-hundred-
     # MB arrays become compile-time constants and blow the remote
@@ -193,7 +223,7 @@ def main():
     infer_flops = flops_of(compiled_infer)
     _prog("bbox infer compiled; first exec")
     dets, valid = infer(jax.random.PRNGKey(1), base1, base2)
-    jax.block_until_ready(dets)
+    sync(dets)
 
     # per-iter timing + median: wall-clock means were moving 0.11-0.19 s
     # across runs (remote-execution jitter); the median is stable.
@@ -206,7 +236,7 @@ def main():
         for i in range(iters):
             t0 = time.perf_counter()
             out = fn(i)
-            jax.block_until_ready(out)
+            sync(out)
             ts.append(time.perf_counter() - t0)
         q1, q3 = np.percentile(ts, [25, 75])
         med = float(np.median(ts))
@@ -217,22 +247,6 @@ def main():
             "n_outliers": int(np.sum(np.asarray(ts) > 3 * med)),
         }
 
-    def retry_transient(what, fn):
-        """Retry ONCE on transient remote-stack failures: the axon
-        tunnel sporadically kills a compile with INTERNAL errors
-        ('remote_compile: response body closed' — observed by the r4
-        judge); one such blip must not zero a whole bench phase."""
-        try:
-            return fn()
-        except Exception as e:  # noqa: BLE001 — backend error types vary
-            msg = str(e)
-            if any(s in msg for s in
-                   ("INTERNAL", "remote_compile", "UNAVAILABLE",
-                    "DEADLINE_EXCEEDED", "body closed")):
-                _prog(f"{what}: transient backend error, retrying once "
-                      f"({msg[:120]!r})")
-                return fn()
-            raise
 
     _prog("bbox infer timing")
     dt, dt_spread = timed(
@@ -271,7 +285,7 @@ def main():
         "segm compile",
         lambda: infer_segm(jax.random.PRNGKey(4), base1, base2),
     )
-    jax.block_until_ready(mm)
+    sync(mm)
     segm_dets = int(jnp.sum(vv))
     _prog("segm infer timing")
     segm_dt, segm_spread = timed(
@@ -345,15 +359,15 @@ def main():
     )
     train_flops = flops_of(compiled_train)
     _prog("train compiled; first step")
-    state, _ = train_step(state, batch0, jax.random.PRNGKey(8))
-    jax.block_until_ready(state.params)
+    state, m0 = train_step(state, batch0, jax.random.PRNGKey(8))
+    float(m0["loss"])
     # pre-build batches so host-side RNG isn't timed with the step
     t_iters = 8
     batches = [
         make_batch(jax.random.fold_in(jax.random.PRNGKey(9), i))
         for i in range(t_iters)
     ]
-    jax.block_until_ready(batches)
+    sync(batches)  # drain the queue before timing
     _prog("train timing")
     ts = []
     for i in range(t_iters):
@@ -362,7 +376,7 @@ def main():
             state, batches[i],
             jax.random.fold_in(jax.random.PRNGKey(10), i),
         )
-        jax.block_until_ready(state.params)
+        float(metrics["loss"])  # blocking scalar fetch (see sync())
         ts.append(time.perf_counter() - t0)
     train_dt = float(np.median(ts))
     tq1, tq3 = np.percentile(ts, [25, 75])
@@ -395,7 +409,7 @@ def main():
             jax.random.PRNGKey(13), (1, wv_d, wv_h, wv_w, 3), jnp.bfloat16
         )
     )
-    jax.block_until_ready(wv_base)
+    sync(wv_base)
 
     @jax.jit
     def wv_step(key, b):
@@ -405,14 +419,14 @@ def main():
 
     _prog("wholevol fwd compile+first")
     wv_out = wv_step(jax.random.PRNGKey(14), wv_base)
-    jax.block_until_ready(wv_out)
+    sync(wv_out)
     _prog("wholevol fwd timing")
     t0 = time.perf_counter()
     for i in range(4):
         wv_out = wv_step(
             jax.random.fold_in(jax.random.PRNGKey(15), i), wv_base
         )
-    jax.block_until_ready(wv_out)
+    sync(wv_out)  # same-stream ordering: last output syncs all 4
     wv_dt = (time.perf_counter() - t0) / 4
 
     # ---- whole-volume config-3 END-TO-END (tiled detection+segm) ----

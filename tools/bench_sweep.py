@@ -61,7 +61,7 @@ def main():
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 8, 64, 64, 3), jnp.bfloat16)
     )
-    jax.block_until_ready(variables)
+    float(jnp.sum(jax.tree_util.tree_leaves(variables)[0]))  # scalar-fetch sync
     print("init done", file=sys.stderr, flush=True)
 
     ch, cw, cd = cfg.static_shapes["crop_size"]
@@ -128,21 +128,25 @@ def main():
             print(json.dumps(rec), flush=True)
             continue
         compile_s = time.time() - t0
-        state, _ = train_step(state, batch0, jax.random.PRNGKey(8))
-        jax.block_until_ready(state.params)
+        state, m0 = train_step(state, batch0, jax.random.PRNGKey(8))
+        float(m0["loss"])  # blocking scalar-fetch sync
         batches = [
             make_batch(jax.random.fold_in(jax.random.PRNGKey(9), i), tb)
             for i in range(args.iters)
         ]
-        jax.block_until_ready(batches)
+        np.asarray(jax.tree_util.tree_leaves(batches)[0].ravel()[0])  # sync
         ts = []
         for i in range(args.iters):
             t0 = time.perf_counter()
-            state, _ = train_step(
+            state, metrics = train_step(
                 state, batches[i],
                 jax.random.fold_in(jax.random.PRNGKey(10), i),
             )
-            jax.block_until_ready(state.params)
+            # blocking SCALAR fetch: on the axon remote stack
+            # block_until_ready returns without awaiting completion
+            # (measured 5 ms for the 140 ms train step) — fetching a
+            # scalar is the only reliable sync (see bench_convs.time_fn)
+            float(metrics["loss"])
             ts.append(time.perf_counter() - t0)
         dt = float(np.median(ts))
         rec = dict(

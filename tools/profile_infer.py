@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 try:
     jax.config.update("jax_compilation_cache_dir", "/tmp/mrcnn3d_jax_cache")
@@ -72,7 +73,7 @@ def main():
         jax.random.PRNGKey(11), (1, d, h, w, 3), jnp.bfloat16))
     base2 = jax.device_put(jax.random.normal(
         jax.random.PRNGKey(12), (1, d2, h2, w2, 3), jnp.bfloat16))
-    jax.block_until_ready((base1, base2))
+    np.asarray(base1.ravel()[0]); np.asarray(base2.ravel()[0])  # scalar sync
 
     @jax.jit
     def infer(key, b1, b2):
@@ -88,13 +89,13 @@ def main():
 
     t0 = time.perf_counter()
     out = infer(jax.random.PRNGKey(1), base1, base2)
-    jax.block_until_ready(out)
+    np.asarray(out[0].ravel()[0])  # scalar sync (block_until_ready lies)
     print(f"compile+first: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     t0 = time.perf_counter()
     for i in range(args.iters):
         out = infer(jax.random.fold_in(jax.random.PRNGKey(2), i),
                     base1, base2)
-    jax.block_until_ready(out)
+    np.asarray(out[0].ravel()[0])  # same-stream ordering: syncs all iters
     dt = (time.perf_counter() - t0) / args.iters
     print(f"step: {dt*1e3:.1f} ms", file=sys.stderr)
 
@@ -103,7 +104,7 @@ def main():
     for i in range(args.iters):
         out = infer(jax.random.fold_in(jax.random.PRNGKey(3), i),
                     base1, base2)
-    jax.block_until_ready(out)
+    np.asarray(out[0].ravel()[0])  # scalar sync before stopping trace
     jax.profiler.stop_trace()
 
     obj = hlo_stats(args.logdir)
