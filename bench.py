@@ -307,7 +307,10 @@ def main():
     # per-chip train batch: the reference trains at imgs_per_gpu=1; a
     # larger per-chip batch amortises the fixed per-step work (RPN
     # target gen, NMS, optimizer) over more volumes for higher MFU
-    tb = int(os.environ.get("MRCNN3D_BENCH_TRAIN_BATCH", "1"))
+    # default promoted from the r5 chip sweep (SWEEP_r05.json): batch 2
+    # wins volumes/s (7.47 vs 7.24 at batch 1; batch 4 drops to 6.97
+    # despite 20% MFU) — tools/bench_sweep.py re-measures
+    tb = int(os.environ.get("MRCNN3D_BENCH_TRAIN_BATCH", "2"))
     tsets = []
     for (hh, ww, dd), ac in zip([(ch, cw, cd), c2], acs):
         x = jnp.zeros((1, dd, hh, ww, 3), jnp.bfloat16)

@@ -80,10 +80,6 @@ def main():
     tx = make_optimizer(
         cfg.optimizer, cfg.optimizer_config.get("grad_clip"), sched
     )
-    state0 = create_train_state(
-        model, jax.random.PRNGKey(0),
-        jnp.zeros((1, 8, 64, 64, 3), jnp.bfloat16), tx,
-    )
     train_step = make_train_step(model, tx, cfg, tsets)
 
     def make_batch(key, tb):
@@ -111,7 +107,13 @@ def main():
 
     results = []
     for tb in [int(x) for x in args.batches.split(",")]:
-        state = state0
+        # fresh state per batch size: train_step donates the state
+        # buffers, so reusing one state across sweep points dereferences
+        # deleted arrays
+        state = create_train_state(
+            model, jax.random.PRNGKey(0),
+            jnp.zeros((1, 8, 64, 64, 3), jnp.bfloat16), tx,
+        )
         batch0 = make_batch(jax.random.PRNGKey(7), tb)
         t0 = time.time()
         try:
