@@ -1,5 +1,6 @@
 """3-D COCO evaluation protocol tests."""
 import numpy as np
+import pytest
 
 from mrcnn3d.eval.coco_eval3d import CocoEval3D, IOU_THRS, iou3d_xywhzd
 from mrcnn3d.eval.results import (
@@ -167,6 +168,7 @@ def test_parcellation_confusion_tracking():
     assert e.parcellation_confusion.get((7, 7), 0) == total and total > 0
 
 
+@pytest.mark.slow  # 29 s: 512^2x160 volume build + eval; r5 fast-tier trim
 def test_segm_whole_volume_eval_is_fast(tmp_path):
     """512^2 x 160 whole-volume segm eval must finish in seconds: IoUs are
     computed once per (img, cat), gt volumes np.load once per image, and

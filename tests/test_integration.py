@@ -124,6 +124,7 @@ def test_checkpoint_resume(tiny_cfg, synth_data, tmp_path):
     assert int(s2.step) == 2
 
 
+@pytest.mark.slow  # 20 s: full sharded-vs-single eval; r5 fast-tier trim
 def test_rank_strided_eval_matches_single(tiny_cfg, synth_data):
     """Sharded eval (idx % world == rank, entries merged) reproduces the
     single-process stats exactly (reference eval_hooks.py:111-149)."""
@@ -164,6 +165,7 @@ def test_rank_strided_eval_matches_single(tiny_cfg, synth_data):
         np.testing.assert_allclose(sharded[k], full[k], atol=1e-9)
 
 
+@pytest.mark.slow  # 56 s: child train process + resume; r5 fast-tier trim
 def test_sigterm_checkpoints_and_stops(tiny_cfg, synth_data, tmp_path):
     """Preemption safety: SIGTERM mid-training checkpoints the current
     step and returns cleanly; a resume picks up from it (TPU pool

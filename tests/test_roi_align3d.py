@@ -5,6 +5,7 @@ finite-difference gradient check (replacing the reference's gradcheck.py).
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from mrcnn3d.ops.roi_align3d import multi_level_roi_align_3d, roi_align_3d
 
@@ -516,6 +517,9 @@ def test_dense_gradients_match_gather():
         )
 
 
+@pytest.mark.slow  # 20 s; xfirst is a CPU-path formulation — its parity
+# vs gather stays guarded once per round (Pallas/dense/gather parity
+# remains in the fast tier); r5 fast-tier trim
 def test_xfirst_matches_gather_dispatch():
     """Inference x-first separable path == corner-gather multi-level
     dispatch (single-volume, mask geometry, chunk remainder)."""

@@ -83,6 +83,8 @@ def test_tiled_single_tile_matches_direct(tiny_mask_model):
     assert any_det, "random-weight model produced no detections"
 
 
+@pytest.mark.slow  # 17 s: multi-tile sweep compile; single-tile parity +
+# compaction tests keep tiled coverage in the fast tier; r5 trim
 def test_tiled_offset_masks_land_in_global_frame(tiny_mask_model):
     """Multi-tile sweep: pasted masks stay inside their global det box."""
     cfg, model, variables = tiny_mask_model

@@ -183,6 +183,7 @@ def test_s2d_stem_parity_vs_torch():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+@pytest.mark.slow  # 25 s: full flagship leaf-coverage sweep; r5 fast-tier trim
 def test_full_model_conversion_coverage():
     """Synthesize a reference-named state dict for the full flagship model
     and verify the converter covers EVERY parameter and stat leaf."""

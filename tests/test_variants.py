@@ -451,6 +451,7 @@ def test_one_pathway_one_rpn():
     assert out["dets"].shape == (1, 8, 7)
 
 
+@pytest.mark.slow  # 29 s: parcel train+test compile; r5 fast-tier trim
 def test_parcel_detector():
     """MaskRCNN3DParcel: 15-way brain-region branch — train loss +
     NMS carry of per-detection parcellation scores (reference
