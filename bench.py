@@ -95,6 +95,20 @@ def _prog(msg, _t0=[None]):
 
 
 
+def _memstat(tag):
+    """Device HBM occupancy to stderr (provenance for OOM debugging:
+    the shared v5e chip RESOURCE_EXHAUSTs when resident executables +
+    arrays approach the tunnel-allocated HBM slice)."""
+    try:
+        ms = jax.devices()[0].memory_stats() or {}
+        used = ms.get("bytes_in_use", 0) / 1e9
+        lim = ms.get("bytes_limit", ms.get("bytes_reservable_limit", 0))
+        _prog(f"{tag}: HBM {used:.2f} GB in use"
+              + (f" / {lim / 1e9:.2f} GB limit" if lim else ""))
+    except Exception as e:  # noqa: BLE001 — stats are best-effort
+        _prog(f"{tag}: memory_stats unavailable ({type(e).__name__})")
+
+
 def sync(out):
     """Blocking SCALAR fetch of one element of one output leaf.
     On the current axon stack jax.block_until_ready returns without
@@ -158,6 +172,7 @@ def main():
     variables = jax.jit(model.init)(rng, imgs[:, :8, :64, :64, :])
     sync(variables)
     _prog("init done")
+    _memstat("init done")
 
     acs = anchor_cfgs(cfg)
     sets = []
@@ -249,6 +264,7 @@ def main():
 
 
     _prog("bbox infer timing")
+    _memstat("bbox infer timing")
     dt, dt_spread = timed(
         lambda i: infer(
             jax.random.fold_in(jax.random.PRNGKey(2), i), base1, base2
@@ -288,6 +304,7 @@ def main():
     sync(mm)
     segm_dets = int(jnp.sum(vv))
     _prog("segm infer timing")
+    _memstat("segm infer timing")
     segm_dt, segm_spread = timed(
         lambda i: infer_segm(
             jax.random.fold_in(jax.random.PRNGKey(5), i),
@@ -372,6 +389,7 @@ def main():
     ]
     sync(batches)  # drain the queue before timing
     _prog("train timing")
+    _memstat("train timing")
     ts = []
     for i in range(t_iters):
         t0 = time.perf_counter()
@@ -393,6 +411,24 @@ def main():
         train_flops / train_dt / PEAK_FLOPS if train_flops else None
     )
 
+    # free the train phase's HBM before the whole-volume phases: loaded
+    # executables keep their scratch reserved, and with the batch-2
+    # train program + both inference programs + 8 prebuilt batches
+    # resident the 240x512x512 upload RESOURCE_EXHAUSTs (hit r5 on the
+    # shared v5e).  Phases are timed independently, so dropping compiled
+    # programs between them costs nothing.
+    import gc
+
+    del state, batches, batch0, compiled_train, compiled_infer
+    del dets, valid, dd, vv, mm, metrics, m0, base1, base2
+    for f in (infer, infer_segm, train_step):
+        try:
+            f.clear_cache()
+        except Exception:
+            pass
+    gc.collect()
+    _memstat("after train-phase cleanup")
+
     # ---- whole-volume depth-sharded backbone+FPN forward ----
     # BASELINE config-3 geometry (512^2 x 240 SWI whole volume): the
     # reference must patch-tile this (a single GPU cannot hold the
@@ -407,30 +443,47 @@ def main():
     wv_d, wv_h, wv_w = 240, 512, 512
     mesh1 = make_mesh(len(jax.devices()[:1]))
     sharded_fn = spatial_extract_feat(model, variables, mesh1)
-    wv_base = jax.device_put(
-        jax.random.normal(
-            jax.random.PRNGKey(13), (1, wv_d, wv_h, wv_w, 3), jnp.bfloat16
+    wv_dt = None
+    wv_oom = None
+    try:
+        wv_base = jax.device_put(
+            jax.random.normal(
+                jax.random.PRNGKey(13), (1, wv_d, wv_h, wv_w, 3),
+                jnp.bfloat16,
+            )
         )
-    )
-    sync(wv_base)
+        sync(wv_base)
 
-    @jax.jit
-    def wv_step(key, b):
-        # unique inputs per call (result-cache guard, see above)
-        eps = jax.random.normal(key, (), jnp.bfloat16) * 0.01
-        return sharded_fn(b + eps)
+        @jax.jit
+        def wv_step(key, b):
+            # unique inputs per call (result-cache guard, see above)
+            eps = jax.random.normal(key, (), jnp.bfloat16) * 0.01
+            return sharded_fn(b + eps)
 
-    _prog("wholevol fwd compile+first")
-    wv_out = wv_step(jax.random.PRNGKey(14), wv_base)
-    sync(wv_out)
-    _prog("wholevol fwd timing")
-    t0 = time.perf_counter()
-    for i in range(4):
-        wv_out = wv_step(
-            jax.random.fold_in(jax.random.PRNGKey(15), i), wv_base
-        )
-    sync(wv_out)  # same-stream ordering: last output syncs all 4
-    wv_dt = (time.perf_counter() - t0) / 4
+        _prog("wholevol fwd compile+first")
+        _memstat("wholevol volume resident")
+        wv_out = wv_step(jax.random.PRNGKey(14), wv_base)
+        sync(wv_out)
+        _prog("wholevol fwd timing")
+        t0 = time.perf_counter()
+        for i in range(4):
+            wv_out = wv_step(
+                jax.random.fold_in(jax.random.PRNGKey(15), i), wv_base
+            )
+        sync(wv_out)  # same-stream ordering: last output syncs all 4
+        wv_dt = (time.perf_counter() - t0) / 4
+        del wv_out
+        wv_step.clear_cache()
+        gc.collect()
+    except Exception as e:  # noqa: BLE001
+        # a shared-tenancy chip can refuse the 377 MB volume + backbone
+        # scratch; record the failure on the JSON line instead of
+        # zeroing the whole bench (phases are independent)
+        if "RESOURCE_EXHAUSTED" not in str(e):
+            raise
+        wv_oom = "wholevol_fwd RESOURCE_EXHAUSTED"
+        _memstat("wholevol fwd OOM")
+        gc.collect()
 
     # ---- whole-volume config-3 END-TO-END (tiled detection+segm) ----
     # BASELINE config 3 is whole-volume inference: the reference cuts
@@ -448,19 +501,36 @@ def main():
     # ~1.3 GB over the remote tunnel and dominated r4's e2e number.
     # Cold includes the volume upload + sweep compile; warm reuses the
     # cached device volume + compiled sweep (apis/tiled.py caches).
-    wv_vol = {"imgs": np.asarray(wv_base[0], np.float32)}
-    _prog("tiled e2e cold run")
-    t0 = time.perf_counter()
-    tiled_inference(
-        scfg, model, variables, wv_vol, patch_hw=wv_h, patch_d=d,
-    )
-    wv_e2e_cold = time.perf_counter() - t0  # includes patch compile reuse
-    _prog("tiled e2e warm run")
-    t0 = time.perf_counter()
-    tiled_inference(
-        scfg, model, variables, wv_vol, patch_hw=wv_h, patch_d=d,
-    )
-    wv_e2e = time.perf_counter() - t0
+    wv_e2e = wv_e2e_cold = None
+    try:
+        try:
+            wv_vol = {"imgs": np.asarray(wv_base[0], np.float32)}
+            del wv_base
+        except NameError:  # wholevol fwd phase OOMed before upload
+            wv_vol = {
+                "imgs": np.random.RandomState(13)
+                .standard_normal((wv_d, wv_h, wv_w, 3))
+                .astype(np.float32)
+            }
+        gc.collect()
+        _prog("tiled e2e cold run")
+        t0 = time.perf_counter()
+        tiled_inference(
+            scfg, model, variables, wv_vol, patch_hw=wv_h, patch_d=d,
+        )
+        wv_e2e_cold = time.perf_counter() - t0  # incl. patch compile reuse
+        _prog("tiled e2e warm run")
+        t0 = time.perf_counter()
+        tiled_inference(
+            scfg, model, variables, wv_vol, patch_hw=wv_h, patch_d=d,
+        )
+        wv_e2e = time.perf_counter() - t0
+    except Exception as e:  # noqa: BLE001
+        if "RESOURCE_EXHAUSTED" not in str(e):
+            raise
+        wv_oom = ((wv_oom + "; ") if wv_oom else "") + \
+            "tiled_e2e RESOURCE_EXHAUSTED"
+        _memstat("tiled e2e OOM")
     _prog("all phases done")
 
     # headline = bbox+segm (BASELINE.md configs 2/3) — see module
@@ -504,12 +574,16 @@ def main():
         "train_spread": train_spread,
         "train_batch": tb,
         "train_vols_per_s": round(tb / train_dt, 4),
-        "wholevol_fwd_s": round(wv_dt, 4),
-        "wholevol_e2e_s": round(wv_e2e, 4),
-        "wholevol_e2e_cold_s": round(wv_e2e_cold, 4),
+        "wholevol_fwd_s": round(wv_dt, 4) if wv_dt is not None else None,
+        "wholevol_e2e_s": round(wv_e2e, 4) if wv_e2e is not None else None,
+        "wholevol_e2e_cold_s": (
+            round(wv_e2e_cold, 4) if wv_e2e_cold is not None else None
+        ),
         "wholevol_geom": f"{wv_h}x{wv_w}x{wv_d}",
         "wholevol_tile_det_budget": 256,
     }
+    if wv_oom:
+        rec["wholevol_error"] = wv_oom
     if mfu_infer is not None:
         rec["mfu_infer_bbox"] = round(mfu_infer, 4)
     if mfu_train is not None:
