@@ -21,6 +21,7 @@ gt_boxes (B, G, 6), gt_labels (B, G), gt_valid (B, G), gt_masks
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, NamedTuple, Sequence
 
 import jax
@@ -908,6 +909,14 @@ def _roi_align_cfg(feats, rois, roi_cfg, valid=None, chunk=0,
         from ..ops.roi_align3d_pallas import (
             multi_level_roi_align_3d_pallas,
         )
+
+        if os.environ.get("MRCNN3D_ALIGN_BARRIER") == "1":
+            # A/B probe (r5): pin the feature maps at the align boundary
+            # so XLA cannot fold the custom-call operand formatting into
+            # the producing conv fusions (PROFILE.md r5: conv fusions
+            # absorbed ~80 ms of align-adjacent work; standalone the
+            # same conv runs 4x faster than its in-program fusion)
+            feats = jax.lax.optimization_barrier(tuple(feats))
 
         # z-window default: bbox/refinement aligns (shallow out_depth)
         # take a 16-slice sliding window — the deep 1.5x level-0 axis
