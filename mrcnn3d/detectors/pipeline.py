@@ -913,9 +913,13 @@ def _roi_align_cfg(feats, rois, roi_cfg, valid=None, chunk=0,
         if os.environ.get("MRCNN3D_ALIGN_BARRIER") == "1":
             # A/B probe (r5): pin the feature maps at the align boundary
             # so XLA cannot fold the custom-call operand formatting into
-            # the producing conv fusions (PROFILE.md r5: conv fusions
-            # absorbed ~80 ms of align-adjacent work; standalone the
-            # same conv runs 4x faster than its in-program fusion)
+            # the producing conv fusions.  MEASURED NEUTRAL on the real
+            # chip (bbox step medians, same session: off 0.380 / on
+            # 0.395 / off-again 0.395 s — within drift): the conv-fusion
+            # entanglement is not separable from outside the compiler,
+            # corroborating PROFILE.md r5's ~0.35 s device-limited floor
+            # for this program shape.  Kept (default-off) as the probe
+            # for future libtpu/XLA versions.
             feats = jax.lax.optimization_barrier(tuple(feats))
 
         # z-window default: bbox/refinement aligns (shallow out_depth)
