@@ -429,6 +429,70 @@ def main():
     gc.collect()
     _memstat("after train-phase cleanup")
 
+    def _drain_async_errors(tag):
+        """After a failed phase, the runtime can re-surface the async
+        error at the NEXT device op (observed r5: the doomed wholevol
+        forward poisoned the following phase's first device_put).  Poke
+        the device with tiny ops until one completes cleanly."""
+        for _ in range(4):
+            try:
+                sync(jnp.zeros((8,), jnp.float32) + 1.0)
+                return
+            except Exception as e:  # noqa: BLE001
+                _prog(f"{tag}: drained async error ({str(e)[:80]})")
+        _prog(f"{tag}: device still erroring after drain")
+
+    # ---- whole-volume config-3 END-TO-END (tiled detection+segm) ----
+    # BASELINE config 3 is whole-volume inference: the reference cuts
+    # 512^2x240 SWI volumes into overlapping patches, translates
+    # detections and carries patch masks to volume coordinates, then
+    # merge-NMSes globally (coco_utils.py:306-477).  apis/tiled.py is
+    # that driver; this measures one full volume through it (5 z-tiles
+    # of the 512^2x64 patch pair at 0.25 overlap), masks on.
+    from mrcnn3d.apis.tiled import tiled_inference
+
+    # host float32 volume, as a real pipeline would load it from disk;
+    # the 1.5x twin is DERIVED ON DEVICE by the tiled driver (same
+    # grid-center trilinear the reference's pre-materialised twin
+    # dataset uses) instead of being uploaded — the twin upload was
+    # ~1.3 GB over the remote tunnel and dominated r4's e2e number.
+    # Cold includes the volume upload + sweep compile; warm reuses the
+    # cached device volume + compiled sweep (apis/tiled.py caches).
+    wv_d, wv_h, wv_w = 240, 512, 512
+    wv_e2e = wv_e2e_cold = None
+    wv_oom = None
+    try:
+        # host-generated volume, as a real pipeline would load it from
+        # disk (f32 .npy); the tiled driver handles upload + twin
+        wv_vol = {
+            "imgs": np.random.RandomState(13)
+            .standard_normal((wv_d, wv_h, wv_w, 3))
+            .astype(np.float32)
+        }
+        gc.collect()
+        _prog("tiled e2e cold run")
+        t0 = time.perf_counter()
+        tiled_inference(
+            scfg, model, variables, wv_vol, patch_hw=wv_h, patch_d=d,
+        )
+        wv_e2e_cold = time.perf_counter() - t0  # incl. patch compile reuse
+        _prog("tiled e2e warm run")
+        t0 = time.perf_counter()
+        tiled_inference(
+            scfg, model, variables, wv_vol, patch_hw=wv_h, patch_d=d,
+        )
+        wv_e2e = time.perf_counter() - t0
+    except Exception as e:  # noqa: BLE001
+        if not any(s in str(e) for s in
+                   ("RESOURCE_EXHAUSTED", "INTERNAL", "remote_compile")):
+            raise
+        wv_oom = ((wv_oom + "; ") if wv_oom else "") + \
+            f"tiled_e2e: {str(e)[:160]}"
+        _prog(f"tiled e2e failed: {str(e)[:300]}")
+        _drain_async_errors("tiled e2e")
+    del wv_vol
+    gc.collect()
+
     # ---- whole-volume depth-sharded backbone+FPN forward ----
     # BASELINE config-3 geometry (512^2 x 240 SWI whole volume): the
     # reference must patch-tile this (a single GPU cannot hold the
@@ -444,17 +508,22 @@ def main():
     mesh1 = make_mesh(len(jax.devices()[:1]))
     sharded_fn = spatial_extract_feat(model, variables, mesh1)
     wv_dt = None
-    wv_oom = None
     try:
+        # the volume lives FLAT between programs: any eager op touching
+        # a volume-scale (..., 3) array (copy, reshape, even the
+        # ravel()[0] sync) can allocate a 128-lane-padded transient =
+        # 42.7x the logical bytes on the remote backend (PROFILE.md r5
+        # follow-ups) — the in-jit reshape below is layout-safe
         wv_base = jax.random.normal(
-            jax.random.PRNGKey(13), (1, wv_d, wv_h, wv_w, 3),
+            jax.random.PRNGKey(13), (wv_d * wv_h * wv_w * 3,),
             jnp.bfloat16,
         )
         sync(wv_base)
 
         @jax.jit
-        def wv_step(key, b):
+        def wv_step(key, bflat):
             # unique inputs per call (result-cache guard, see above)
+            b = bflat.reshape(1, wv_d, wv_h, wv_w, 3)
             eps = jax.random.normal(key, (), jnp.bfloat16) * 0.01
             return sharded_fn(b + eps)
 
@@ -474,61 +543,22 @@ def main():
         wv_step.clear_cache()
         gc.collect()
     except Exception as e:  # noqa: BLE001
-        # a shared-tenancy chip can refuse the 377 MB volume + backbone
-        # scratch; record the failure on the JSON line instead of
-        # zeroing the whole bench (phases are independent)
-        if "RESOURCE_EXHAUSTED" not in str(e):
-            raise
-        wv_oom = "wholevol_fwd RESOURCE_EXHAUSTED"
-        _memstat("wholevol fwd OOM")
-        gc.collect()
-
-    # ---- whole-volume config-3 END-TO-END (tiled detection+segm) ----
-    # BASELINE config 3 is whole-volume inference: the reference cuts
-    # 512^2x240 SWI volumes into overlapping patches, translates
-    # detections and carries patch masks to volume coordinates, then
-    # merge-NMSes globally (coco_utils.py:306-477).  apis/tiled.py is
-    # that driver; this measures one full volume through it (5 z-tiles
-    # of the 512^2x64 patch pair at 0.25 overlap), masks on.
-    from mrcnn3d.apis.tiled import tiled_inference
-
-    # host float32 volume, as a real pipeline would load it from disk;
-    # the 1.5x twin is DERIVED ON DEVICE by the tiled driver (same
-    # grid-center trilinear the reference's pre-materialised twin
-    # dataset uses) instead of being uploaded — the twin upload was
-    # ~1.3 GB over the remote tunnel and dominated r4's e2e number.
-    # Cold includes the volume upload + sweep compile; warm reuses the
-    # cached device volume + compiled sweep (apis/tiled.py caches).
-    wv_e2e = wv_e2e_cold = None
-    try:
-        try:
-            wv_vol = {"imgs": np.asarray(wv_base[0], np.float32)}
-            del wv_base
-        except NameError:  # wholevol fwd phase OOMed before upload
-            wv_vol = {
-                "imgs": np.random.RandomState(13)
-                .standard_normal((wv_d, wv_h, wv_w, 3))
-                .astype(np.float32)
-            }
-        gc.collect()
-        _prog("tiled e2e cold run")
-        t0 = time.perf_counter()
-        tiled_inference(
-            scfg, model, variables, wv_vol, patch_hw=wv_h, patch_d=d,
-        )
-        wv_e2e_cold = time.perf_counter() - t0  # incl. patch compile reuse
-        _prog("tiled e2e warm run")
-        t0 = time.perf_counter()
-        tiled_inference(
-            scfg, model, variables, wv_vol, patch_hw=wv_h, patch_d=d,
-        )
-        wv_e2e = time.perf_counter() - t0
-    except Exception as e:  # noqa: BLE001
-        if "RESOURCE_EXHAUSTED" not in str(e):
+        # a shared-tenancy chip can refuse the volume + backbone
+        # scratch, and the remote AOT compiler can abort outright on
+        # layout-exploded programs (the r5 backend pads any volume-scale
+        # (..., 3) operand of a transpose/dot/slice 42.7x — the stem's
+        # s2d fold hits this at whole-volume scale; the TILED driver
+        # below is the hazard-free config-3 path); record the failure on
+        # the JSON line instead of zeroing the whole bench
+        if not any(s in str(e) for s in
+                   ("RESOURCE_EXHAUSTED", "INTERNAL", "remote_compile")):
             raise
         wv_oom = ((wv_oom + "; ") if wv_oom else "") + \
-            "tiled_e2e RESOURCE_EXHAUSTED"
-        _memstat("tiled e2e OOM")
+            f"wholevol_fwd: {str(e)[:160]}"
+        _prog(f"wholevol fwd failed: {str(e)[:300]}")
+        _drain_async_errors("wholevol fwd")
+        gc.collect()
+
     _prog("all phases done")
 
     # headline = bbox+segm (BASELINE.md configs 2/3) — see module

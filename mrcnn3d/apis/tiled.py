@@ -24,6 +24,8 @@ same global NMS as the reference.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -44,34 +46,82 @@ def tile_starts(extent, patch, stride):
     return starts
 
 
-def _to_device(vol, dtype):
-    """Upload (D, H, W, 3) once; a jax.Array input skips the upload.
+def _to_device_flat(vol, dtype):
+    """Upload a (D, H, W, 3) volume as a FLAT 1-D device array.
 
-    The transfer goes up FLAT (1-D) and is reshaped on device: an
-    eager host->device copy whose minor dimension is 3 can be
-    materialised in a 128-lane-padded tiled layout by the remote
-    backend (observed r5: `bf16[...,3]{...T(8,128)(2,1)}` = 42.7x the
-    logical bytes — a whole volume instantly RESOURCE_EXHAUSTs), while
-    1-D uploads and compiled-program outputs get compact layouts.
-    Casting host-side first also halves the tunnel bytes for f32
-    input."""
-    if not isinstance(vol, jax.Array):
-        host = np.ascontiguousarray(np.asarray(vol)).astype(dtype)
-        flat = jax.device_put(host.reshape(-1))
-        vol = jax.jit(lambda f: f.reshape(host.shape))(flat)
-    return vol.astype(dtype)
+    Volume-scale arrays with minor dimension 3 must NEVER exist as
+    standalone device arrays on the remote TPU backend: any eager op
+    touching one (upload copy, reshape, even the `ravel()[0]` sync)
+    can allocate it in a 128-lane-padded `T(8,128)` layout — observed
+    r5: `f32[240,512,512,3]` rejected as a 32.2 GB allocation, 42.7x
+    its logical bytes.  1-D arrays and jitted-program internals are
+    safe, so volumes travel flat and are reshaped INSIDE the consuming
+    program.  Returns (flat_device_array, shape).  Casting host-side
+    first also halves the tunnel bytes for f32 input on bf16 models."""
+    shape = tuple(int(s) for s in np.shape(vol))
+    if isinstance(vol, jax.Array):
+        if vol.ndim == 1:
+            return vol.astype(dtype), shape
+        # device input: flatten via a jitted program (1-D output layout
+        # is compact; test-scale arrays only — the product path uploads
+        # from host)
+        return jax.jit(jnp.ravel)(vol).astype(dtype), shape
+    host = np.ascontiguousarray(np.asarray(vol)).astype(dtype)
+    return jax.device_put(host.reshape(-1)), shape
 
 
-def _pad_dev(vol, tgt):
-    """Zero-pad a device (D, H, W, 3) up to tgt = (D', H', W') ON
-    DEVICE.  Zeros are the normalised mean intensity (matches the
-    reference's border handling for remainder patches).  Padding after
-    the upload keeps the host->device transfer at exactly the raw
-    volume bytes."""
-    pads = [(0, t - s) for t, s in zip(tgt, vol.shape[:3])] + [(0, 0)]
-    if any(p[1] > 0 for p in pads):
-        vol = jnp.pad(vol, pads)
-    return vol
+@functools.lru_cache(maxsize=4)
+def _prep_fn(shape, shape2, tgt1, tgt2, up_shape, two_scale, dtype):
+    """ONE jitted prep program per geometry: reshape the flat
+    upload(s), derive the 1.5x twin on device when the sample didn't
+    carry one (same grid-center trilinear the reference's
+    pre-materialised twin dataset uses), zero-pad both so every tile's
+    dynamic_slice is in-bounds — and return both volumes FLAT (1-D
+    outputs keep compact layouts; see _to_device_flat).  Zero padding
+    is the normalised mean intensity (matches the reference's border
+    handling for remainder patches).  lru-cached so repeat volumes of
+    the same geometry reuse the compiled program."""
+    from ..ops.resize3d import resize_trilinear_3d
+
+    def pad_fused(v, src_dhw, tgt):
+        """Zero-pad in the (D, H, W*C) FUSED view: volume-scale tensors
+        with a minor dim of 3 must never meet a layout-sensitive op on
+        the remote TPU backend (see _to_device_flat / resize3d.py) —
+        padding the fused last axis by (tgt_w - w)*C zeros per row is
+        exactly a W-axis pad of the unfused volume."""
+        c = v.shape[-1] // src_dhw[2]
+        pads = [
+            (0, tgt[0] - src_dhw[0]),
+            (0, tgt[1] - src_dhw[1]),
+            (0, (tgt[2] - src_dhw[2]) * c),
+        ]
+        if any(p[1] > 0 for p in pads):
+            v = jnp.pad(v, pads)
+        return v
+
+    @jax.jit
+    def prep(f, f2):
+        dd, hh, ww, cc = shape
+        v = f.reshape(dd, hh, ww * cc).astype(dtype)
+        v1 = pad_fused(v, (dd, hh, ww), tgt1)
+        if not two_scale:
+            v2 = jnp.zeros((3,), dtype)
+        elif f2 is not None:
+            d2, h2, w2, c2 = shape2
+            v2 = pad_fused(
+                f2.reshape(d2, h2, w2 * c2).astype(dtype),
+                (d2, h2, w2), tgt2,
+            )
+        else:
+            tw = resize_trilinear_3d(f.reshape(shape).astype(dtype),
+                                     up_shape)
+            v2 = pad_fused(
+                tw.reshape(up_shape[0], up_shape[1], up_shape[2] * cc),
+                up_shape, tgt2,
+            )
+        return v1.reshape(-1), v2.reshape(-1)
+
+    return prep
 
 
 class DeviceTiler:
@@ -91,9 +141,17 @@ class DeviceTiler:
     """
 
     def __init__(self, cfg, model, variables, patch1, patch2=None,
-                 max_dets=256):
+                 max_dets=256, vol_shape1=None, vol_shape2=None):
         self.model = model
         self.patch1, self.patch2 = patch1, patch2
+        # padded (D, H, W, 3) shapes of the FLAT device volumes the
+        # sweep receives: volumes travel between programs 1-D (layout
+        # hazard, see _to_device_flat) and are reshaped in-program
+        self.vol_shape1 = vol_shape1 or (patch1 + (3,))
+        self.vol_shape2 = vol_shape2 or (
+            (patch2 + (3,)) if patch2 else (1, 1, 1, 3)
+        )
+        vs1, vs2 = self.vol_shape1, self.vol_shape2
         acs = anchor_cfgs(cfg)
         sets = []
         shapes = [patch1] + ([patch2] if patch2 else [])
@@ -111,15 +169,24 @@ class DeviceTiler:
         dtype = getattr(model, "dtype", jnp.float32)
 
         @jax.jit
-        def fn(vol, vol2, o1, o2):
+        def fn(volf, vol2f, o1, o2):
+            # FUSED (D, H, W*3) views: a dynamic_slice on a volume-scale
+            # (..., 3) operand hits the remote backend's 128-lane-padded
+            # layout (see _to_device_flat); slicing the fused axis at
+            # x*3 is the same tile, and the per-TILE unfuse reshape is
+            # patch-scale (proven safe by the patch programs)
+            vol = volf.reshape(vs1[0], vs1[1], vs1[2] * vs1[3])
             t = jax.lax.dynamic_slice(
-                vol, (o1[0], o1[1], o1[2], 0), patch1 + (3,)
-            )
+                vol, (o1[0], o1[1], o1[2] * 3),
+                (patch1[0], patch1[1], patch1[2] * 3),
+            ).reshape(patch1 + (3,))
             batch = {"imgs": t[None].astype(dtype)}
             if patch2 is not None:
+                vol2 = vol2f.reshape(vs2[0], vs2[1], vs2[2] * vs2[3])
                 t2 = jax.lax.dynamic_slice(
-                    vol2, (o2[0], o2[1], o2[2], 0), patch2 + (3,)
-                )
+                    vol2, (o2[0], o2[1], o2[2] * 3),
+                    (patch2[0], patch2[1], patch2[2] * 3),
+                ).reshape(patch2 + (3,))
                 batch["imgs_2"] = t2[None].astype(dtype)
             out = pl.simple_test(model, variables, batch, cfg, sets)
             dets = out["dets"][0]
@@ -188,13 +255,16 @@ def _cache_put(cache, key, value):
         cache.pop(next(iter(cache)))
 
 
-def _get_tiler(cfg, model, variables, patch1, patch2, max_dets):
-    key = (id(cfg), id(model), id(variables), patch1, patch2, max_dets)
+def _get_tiler(cfg, model, variables, patch1, patch2, max_dets,
+               vol_shape1=None, vol_shape2=None):
+    key = (id(cfg), id(model), id(variables), patch1, patch2, max_dets,
+           vol_shape1, vol_shape2)
     hit = _TILER_CACHE.get(key)
     if hit is not None and hit[0] is cfg and hit[1] is variables:
         return hit[2]
     tiler = DeviceTiler(
-        cfg, model, variables, patch1, patch2, max_dets=max_dets
+        cfg, model, variables, patch1, patch2, max_dets=max_dets,
+        vol_shape1=vol_shape1, vol_shape2=vol_shape2,
     )
     _cache_put(_TILER_CACHE, key, (cfg, variables, tiler))
     return tiler
@@ -270,39 +340,37 @@ def tiled_inference(
         id(volume_sample["imgs"]), img.shape, str(dtype),
         patch_d, patch_hw, overlap, two_scale,
     )
+    tgt1 = (max(d, patch_d), max(h, patch_hw), max(w, patch_hw))
+    if two_scale:
+        tgt2 = (max(z2s) + pd2, max(y2s) + ph2, max(x2s) + ph2)
+        up_shape = (
+            int(round(d * up)), int(round(h * up)), int(round(w * up))
+        )
+    else:
+        tgt2 = up_shape = None
+    vol_shape1 = tgt1 + (3,)
+    vol_shape2 = (tgt2 + (3,)) if two_scale else (1, 1, 1, 3)
     vhit = _VOL_CACHE.get(vkey)
     if vhit is not None and vhit[0] is volume_sample["imgs"]:
         vol, vol2 = vhit[1], vhit[2]
     else:
         t0 = _t()
-        raw = _to_device(img, dtype)
-        if two_scale:
-            raw2 = volume_sample.get("imgs_2")
-            if raw2 is None:
-                # derive the 1.5x twin ON DEVICE: same grid-center
-                # trilinear the reference's pre-materialised twin
-                # dataset uses (coco_3d_2scales.py:209-234 /
-                # native.resize_trilinear) — three MXU einsums replace
-                # the twin's host->device upload (1.3 GB for a 512^2x240
-                # SWI volume in bf16), which dominated sweep e2e time on
-                # remote-attached devices
-                from ..ops.resize3d import resize_trilinear_3d
-
-                raw2 = resize_trilinear_3d(
-                    raw,
-                    (int(round(d * up)), int(round(h * up)),
-                     int(round(w * up))),
-                )
-            else:
-                raw2 = _to_device(raw2, dtype)
-            vol2 = _pad_dev(
-                raw2, (max(z2s) + pd2, max(y2s) + ph2, max(x2s) + ph2)
-            )
+        # flat upload + ONE prep program (reshape, on-device 1.5x twin
+        # derivation — three MXU einsums replacing the reference's
+        # pre-materialised twin upload (coco_3d_2scales.py:209-234 /
+        # native.resize_trilinear; 1.3 GB for a 512^2x240 SWI volume),
+        # zero-pad); volumes stay FLAT between programs (layout hazard,
+        # see _to_device_flat)
+        flat, shape = _to_device_flat(img, dtype)
+        raw2 = volume_sample.get("imgs_2") if two_scale else None
+        if raw2 is not None:
+            flat2, shape2 = _to_device_flat(raw2, dtype)
         else:
-            vol2 = jnp.zeros((1, 1, 1, 3), dtype)
-        vol = _pad_dev(
-            raw, (max(d, patch_d), max(h, patch_hw), max(w, patch_hw))
+            flat2, shape2 = None, None
+        prep = _prep_fn(
+            shape, shape2, tgt1, tgt2, up_shape, two_scale, dtype
         )
+        vol, vol2 = prep(flat, flat2)
         jax.block_until_ready((vol, vol2))
         _cache_put(_VOL_CACHE, vkey, (volume_sample["imgs"], vol, vol2))
         _acc("upload+derive_twin+pad", t0)
@@ -310,7 +378,7 @@ def tiled_inference(
     t0 = _t()
     tiler = _get_tiler(
         cfg, model, variables, (patch_d, patch_hw, patch_hw), patch2,
-        max_dets_per_tile,
+        max_dets_per_tile, vol_shape1, vol_shape2,
     )
     _acc("tiler_ctor", t0)
 

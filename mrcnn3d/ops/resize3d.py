@@ -42,14 +42,33 @@ def resize_trilinear_3d(vol, out_dhw):
     covers the tiled driver deriving the twin through this path).
     """
     od, oh, ow = (int(v) for v in out_dhw)
-    d, h, w, _ = vol.shape
+    d, h, w, c = (int(v) for v in vol.shape)
     dtype = vol.dtype
-    x = vol.astype(jnp.float32)
+    # LAYOUT CONSTRAINT (r5, remote TPU backend): any layout-sensitive
+    # op — dot, transpose, slice — whose operand/result has the 3-wide
+    # channel axis as its minor dimension materialises it 128-lane
+    # padded (42.7x the logical bytes; at whole-volume scale the
+    # compiler aborts).  So the volume only ever appears here in FUSED
+    # views whose minor dim is spatial*C: the z/y lerps are plain
+    # matmuls over those views, and the x lerp — which would need the
+    # (W, C) split — is a static 2-tap gather-lerp on the fused axis
+    # instead of a dot.
+    x = vol.reshape(d, h * w * c).astype(jnp.float32)
     mz = jnp.asarray(axis_lerp_matrix(od, d))
     my = jnp.asarray(axis_lerp_matrix(oh, h))
-    mx = jnp.asarray(axis_lerp_matrix(ow, w))
-    # contract one axis at a time; XLA tiles each as a plain matmul
-    x = jnp.einsum("ad,dhwk->ahwk", mz, x)
-    x = jnp.einsum("bh,ahwk->abwk", my, x)
-    x = jnp.einsum("cw,abwk->abck", mx, x)
-    return x.astype(dtype)
+    x = jnp.einsum("ad,dm->am", mz, x)            # (od, h*w*c)
+    x = jnp.einsum("bh,ahm->abm", my, x.reshape(od, h, w * c))
+    # x axis: out[..., j, k] = (1-fr_j)*v[..., lo_j, k] + fr_j*v[..., hi_j, k]
+    i = np.arange(ow, dtype=np.float64)
+    cpos = np.clip((i + 0.5) * w / ow - 0.5, 0.0, w - 1)
+    lo = np.floor(cpos).astype(np.int64)
+    hi = np.minimum(lo + 1, w - 1)
+    fr = (cpos - lo).astype(np.float32)
+    ks = np.arange(c, dtype=np.int64)
+    idx_lo = jnp.asarray((lo[:, None] * c + ks).reshape(-1))   # (ow*c,)
+    idx_hi = jnp.asarray((hi[:, None] * c + ks).reshape(-1))
+    w_lo = jnp.asarray(np.repeat(1.0 - fr, c))
+    w_hi = jnp.asarray(np.repeat(fr, c))
+    x = (jnp.take(x, idx_lo, axis=2) * w_lo
+         + jnp.take(x, idx_hi, axis=2) * w_hi)    # (od, oh, ow*c)
+    return x.reshape(od, oh, ow, c).astype(dtype)
