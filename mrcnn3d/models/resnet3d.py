@@ -56,9 +56,14 @@ def stem_conv_s2d(x, kernel):
     kd, kh, kw, cin, cout = kernel.shape
     assert (kd, kh, kw) == (7, 7, 7) and h % 2 == 0 and w % 2 == 0
 
-    # fold input 2x2 xy blocks into channels: (b, d, h/2, w/2, 4c)
-    x2 = x.reshape(b, d, h // 2, 2, w // 2, 2, c)
-    x2 = jnp.transpose(x2, (0, 1, 2, 4, 3, 5, 6)).reshape(
+    # fold input 2x2 xy blocks into channels: (b, d, h/2, w/2, 4c).
+    # The transpose works on a (pw*c)-FUSED last axis — identical
+    # element order, but its minor dim is 2c instead of c: the remote
+    # backend 128-lane-pads any volume-scale tensor whose minor dim is
+    # the raw 3-wide channel axis at layout-sensitive ops (42.7x bytes
+    # — a whole-volume stem OOMs outright; PROFILE.md r5 follow-ups)
+    x2 = x.reshape(b, d, h // 2, 2, w // 2, 2 * c)
+    x2 = jnp.transpose(x2, (0, 1, 2, 4, 3, 5)).reshape(
         b, d, h // 2, w // 2, 4 * c
     )
 
@@ -100,8 +105,11 @@ def stem_conv_s2d4(x, kernel):
     kd, kh, kw, cin, cout = kernel.shape
     assert (kd, kh, kw) == (7, 7, 7) and h % 4 == 0 and w % 4 == 0
 
-    x4 = x.reshape(b, d, h // 4, 4, w // 4, 4, c)
-    x4 = jnp.transpose(x4, (0, 1, 2, 4, 3, 5, 6)).reshape(
+    # fused (pw*c) last axis: same element order, minor dim 4c not c —
+    # avoids the remote backend's 128-lane padding of volume-scale
+    # minor-dim-3 transpose operands (see stem_conv_s2d)
+    x4 = x.reshape(b, d, h // 4, 4, w // 4, 4 * c)
+    x4 = jnp.transpose(x4, (0, 1, 2, 4, 3, 5)).reshape(
         b, d, h // 4, w // 4, 16 * c
     )
 
