@@ -59,9 +59,8 @@ def _to_device_flat(vol, dtype):
     program.  Returns (flat_device_array, shape).  Casting host-side
     first also halves the tunnel bytes for f32 input on bf16 models."""
     shape = tuple(int(s) for s in np.shape(vol))
+    assert len(shape) == 4, f"expected (D, H, W, C) volume, got {shape}"
     if isinstance(vol, jax.Array):
-        if vol.ndim == 1:
-            return vol.astype(dtype), shape
         # device input: flatten via a jitted program (1-D output layout
         # is compact; test-scale arrays only — the product path uploads
         # from host)
