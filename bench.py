@@ -620,4 +620,24 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        # the driver parses exactly one JSON line: a mid-run crash
+        # (chip-tenancy OOM during a core phase, tunnel death mid-
+        # compile) must still leave a parseable record of WHY instead
+        # of a bare traceback and no line
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": (
+                "2-scale MaskRCNN3D bbox+segm inference, 512x512x64 patch"
+            ),
+            "value": 0.0,
+            "unit": "volumes/sec/chip",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {str(e)[:300]}",
+        }))
+        sys.stdout.flush()
+        sys.exit(1)
